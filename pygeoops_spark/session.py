@@ -1,0 +1,48 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The same settings we would ship to a 1000-executor cluster (AQE on,
+skew-join handling, Arrow batching) — only master/shuffle-partition
+count vary between local test runs and cluster submits.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pygeoops_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with engine defaults.
+
+    Defaults favor the sandbox (local[N]); on a real cluster the same
+    conf applies — AQE coalesces the 2x-over-provisioned shuffle
+    partitions at runtime, and skew-join splitting handles Zipfian
+    cell-id hotspots without manual tuning.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
