@@ -1,0 +1,108 @@
+"""Synthetic Common-Crawl-style `pages` corpus + derived geometry.
+
+Two sources of geometry-bearing rows:
+
+1. ``synth_pages`` — the input_hint table
+   (url, warc_ts, html, text, lang, x, y[, geom WKB]) built
+   deterministically from ``spark.range`` with pure SQL arithmetic
+   (multiplicative-congruential mixing; no RNG, no Python loop). The
+   per-row invariant "byte-identical text per url" is testable because
+   text is a pure function of the row id. 20% of rows snap near a
+   hotspot to exercise skew handling.
+
+2. ``order_points`` / ``synth_zones`` — geometry derived from the
+   driver's TPC-H-ish tables with integer arithmetic that DuckDB
+   reproduces exactly (the correctness-oracle path).
+
+All constants are plain integers so Spark and DuckDB compute
+bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORDS = (
+    "the of and to in is was for on that spark shuffle partition tile grid cell "
+    "polygon point line angle buffer centerline simplify join index scan batch"
+).split()
+
+# -- oracle-friendly derivations (mirrored 1:1 in SQL in __spark_entry__) --
+X_MULT, Y_MULT, MOD = 9973, 6151, 1_000_000
+
+
+def order_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One point per order: x,y in [0,1000) from integer mixing of the
+    key. SQL mirror: ((o_orderkey*9973)%1000000)/1000.0 etc."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.select(
+        "o_orderkey",
+        ((F.col("o_orderkey") * X_MULT) % MOD / 1000.0).alias("x"),
+        ((F.col("o_orderkey") * Y_MULT) % MOD / 1000.0).alias("y"),
+    )
+
+
+def customer_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * X_MULT) % MOD / 1000.0).alias("x"),
+        ((F.col("c_custkey") * Y_MULT) % MOD / 1000.0).alias("y"),
+    )
+
+
+N_ZONES = 64
+
+
+def synth_zones(spark: SparkSession, m: int = N_ZONES) -> DataFrame:
+    """m jittered rectangles on an 8-wide lattice over [0,1000)^2.
+
+    SQL mirror (DuckDB): range(m) with the same integer arithmetic.
+    """
+    z = spark.range(m).withColumnRenamed("id", "zone_id")
+    zcol = F.col("zone_id") % 8
+    zrow = (F.col("zone_id") / 8).cast("long")
+    xmin = zcol * 125 + (F.col("zone_id") * 37) % 20 - 10.0
+    ymin = zrow * 125 + (F.col("zone_id") * 53) % 20 - 10.0
+    return z.select(
+        "zone_id",
+        F.concat(F.lit("z"), F.col("zone_id")).alias("zone_name"),
+        xmin.cast("double").alias("xmin"),
+        ymin.cast("double").alias("ymin"),
+        (xmin + 100 + (F.col("zone_id") * 29) % 40).cast("double").alias("xmax"),
+        (ymin + 100 + (F.col("zone_id") * 41) % 40).cast("double").alias("ymax"),
+    )
+
+
+# -- input_hint corpus ----------------------------------------------------
+def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic pages table (input_hint schema + x/y geotag)."""
+    df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    h = (i * 2654435761) % 2147483647  # Knuth multiplicative mix
+    h2 = (h * 48271) % 2147483647
+    url = F.concat(F.lit("https://site"), (i % 1000), F.lit(".example/p/"), i)
+    text = F.concat_ws(
+        " ",
+        *[
+            F.element_at(
+                F.array(*[F.lit(w) for w in WORDS]),
+                ((h + F.lit(j * 101)) % len(WORDS) + 1).cast("int"),
+            )
+            for j in range(24)
+        ],
+    )
+    # 20% of pages snap near the (500,500) hotspot => Zipf-ish cell skew
+    hot = (h % 5) == 0
+    x = F.when(hot, 500.0 + (h2 % 1000) / 1000.0).otherwise((h % 1_000_000) / 1000.0)
+    y = F.when(hot, 500.0 + (h2 % 997) / 997.0).otherwise((h2 % 1_000_000) / 1000.0)
+    return df.select(
+        url.alias("url"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=(i * 137) % 31_536_000)).alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "UTF-8").alias("html"),
+        text.alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("es"), F.lit("zh"), F.lit("de"), F.lit("fr")), (h % 5 + 1).cast("int")).alias("lang"),
+        x.cast("double").alias("x"),
+        y.cast("double").alias("y"),
+    )

@@ -1,0 +1,122 @@
+"""kNN join via cell-ring expansion + window top-k.
+
+Scale design: probes generate the (2r+1)^2 cell neighborhood (pure SQL
+array + explode — no UDF), equi-join against target cell ids, then a
+window `row_number() <= k` partitioned by probe. The shuffle keys are
+cell ids (candidate join) and probe ids (top-k) — both well distributed
+when salting is applied to hotspots; AQE skew-join covers the rest.
+
+Exactness: ring radius r is exact iff the k-th neighbor lies within
+r * cell_size Chebyshev distance of the probe's cell; `knn_join`
+optionally verifies via a guaranteed lower bound and re-queries
+stragglers at a doubled radius (driver-side loop over a shrinking
+probe set — the distributed analog of iterative ring expansion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pygeoops_spark.join.cells import cell_id, cell_size, ring_cells
+
+
+def knn_join(
+    probes: DataFrame,
+    targets: DataFrame,
+    probe_key: str,
+    target_key: str,
+    k: int,
+    level: int = 3,
+    radius: int = 2,
+    px: str = "x",
+    py: str = "y",
+    tx: str = "x",
+    ty: str = "y",
+    broadcast_targets: bool = True,
+    guarantee_exact: bool = False,
+) -> DataFrame:
+    """Top-k nearest targets per probe (Euclidean), deterministic
+    tie-break on target key. Output: probe columns + target_key + dist + knn_rank.
+    """
+    t = targets.select(
+        F.col(target_key).alias("_tkey"),
+        F.col(tx).alias("_tx"),
+        F.col(ty).alias("_ty"),
+        cell_id(tx, ty, level).alias("_cell"),
+    )
+    if broadcast_targets:
+        t = F.broadcast(t)
+
+    p = probes.withColumn("_cell", F.explode(ring_cells(px, py, level, radius)))
+    cand = p.join(t, "_cell").drop("_cell")
+    dist = F.sqrt(
+        (F.col(px) - F.col("_tx")) ** 2 + (F.col(py) - F.col("_ty")) ** 2
+    ).alias("dist")
+    nn_col = target_key + "_nn"
+    w = Window.partitionBy(probe_key).orderBy(F.col("dist").asc(), F.col(nn_col).asc())
+    ranked = (
+        cand.select(*probes.columns, F.col("_tkey").alias(nn_col), dist)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )
+    if not guarantee_exact:
+        return ranked
+    # Exactness check: k-th distance must be <= the guaranteed covered
+    # radius (radius * cell_size, the inradius of the ring box from the
+    # probe's own cell). Probes failing it re-run with doubled radius.
+    safe = float(radius) * cell_size(level)
+    kth = ranked.groupBy(probe_key).agg(
+        F.max("dist").alias("_kth"), F.count("*").alias("_n")
+    )
+    bad = kth.where((F.col("_kth") > safe) | (F.col("_n") < k)).select(probe_key)
+    if bad.isEmpty():
+        return ranked
+    good = ranked.join(bad, probe_key, "left_anti")
+    redo = probes.join(bad, probe_key, "left_semi")
+    return good.unionByName(
+        knn_join(
+            redo,
+            targets,
+            probe_key,
+            target_key,
+            k,
+            level=level,
+            radius=radius * 2,
+            px=px,
+            py=py,
+            tx=tx,
+            ty=ty,
+            broadcast_targets=broadcast_targets,
+            guarantee_exact=True,
+        )
+    )
+
+
+def knn_join_bruteforce(
+    probes: DataFrame,
+    targets: DataFrame,
+    probe_key: str,
+    target_key: str,
+    k: int,
+    px: str = "x",
+    py: str = "y",
+    tx: str = "x",
+    ty: str = "y",
+) -> DataFrame:
+    """Exact baseline: broadcast cross join + window. Only for small
+    target sets / correctness oracles."""
+    t = F.broadcast(
+        targets.select(
+            F.col(target_key).alias("_tkey"), F.col(tx).alias("_tx"), F.col(ty).alias("_ty")
+        )
+    )
+    cand = probes.crossJoin(t)
+    dist = F.sqrt((F.col(px) - F.col("_tx")) ** 2 + (F.col(py) - F.col("_ty")) ** 2).alias("dist")
+    nn_col = target_key + "_nn"
+    w = Window.partitionBy(probe_key).orderBy(F.col("dist").asc(), F.col(nn_col).asc())
+    return (
+        cand.select(*probes.columns, F.col("_tkey").alias(nn_col), dist)
+        .withColumn("knn_rank", F.row_number().over(w))
+        .where(F.col("knn_rank") <= k)
+    )

@@ -1,0 +1,182 @@
+"""Spark-layer tests: grid operators and the cell-indexed join recipes
+checked against brute-force/SQL ground truth on the driver testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygeoops_spark.corpus.pages import customer_points, order_points, synth_pages, synth_zones
+from pygeoops_spark.join.bbox import bbox_join
+from pygeoops_spark.join.knn import knn_join, knn_join_bruteforce
+from pygeoops_spark.join.pip import pip_join_polygons, pip_join_rects
+from pygeoops_spark.operators.grid import (
+    assign_to_grid,
+    create_grid,
+    create_grid2,
+    create_grid3,
+    split_tiles,
+)
+
+BOUNDS = (40000.0, 160000.0, 45000.0, 210000.0)
+
+
+def test_create_grid_spark(spark):
+    tiles = create_grid(spark, BOUNDS, 2, 2).orderBy("tile_id").collect()
+    assert len(tiles) == 4
+    assert (tiles[0]["xmin"], tiles[0]["ymin"], tiles[0]["xmax"], tiles[0]["ymax"]) == (
+        40000.0,
+        160000.0,
+        42500.0,
+        185000.0,
+    )
+    # column-major: tile 1 is (col 0, row 1)
+    assert (tiles[1]["col"], tiles[1]["row"]) == (0, 1)
+
+
+def test_create_grid2_spark_counts(spark):
+    assert create_grid2(spark, BOUNDS, 100).count() == 96
+    assert create_grid2(spark, BOUNDS, 150, 150).count() == 148
+    assert create_grid3(spark, BOUNDS, 2500, 25000).count() == 4
+
+
+def test_split_tiles_spark(spark):
+    base = create_grid(spark, (40.0, 40.0, 45.0, 46.0), 2, 2).withColumn(
+        "attr", F.lit("a")
+    )
+    out = split_tiles(base, 8)
+    rows = out.collect()
+    assert len(rows) == 8
+    assert all(r["attr"] == "a" for r in rows)
+    area = sum((r["xmax"] - r["xmin"]) * (r["ymax"] - r["ymin"]) for r in rows)
+    assert area == pytest.approx(5 * 6)
+    # already enough tiles -> unchanged
+    assert split_tiles(base, 2).count() == 4
+
+
+def test_assign_to_grid_matches_sql(spark, sf_dir):
+    pts = order_points(spark, sf_dir)
+    got = assign_to_grid(pts, "x", "y", (0.0, 0.0, 1000.0, 1000.0), 8, 8)
+    # brute force via floor arithmetic
+    chk = got.withColumn("c2", F.floor(F.col("x") / 125.0)).withColumn(
+        "r2", F.floor(F.col("y") / 125.0)
+    )
+    assert chk.where((F.col("tile_col") != F.col("c2")) | (F.col("tile_row") != F.col("r2"))).count() == 0
+
+
+def test_pip_join_rects_matches_bruteforce(spark, sf_dir):
+    pts = order_points(spark, sf_dir)
+    zones = synth_zones(spark)
+    got = pip_join_rects(pts, zones, level=5).select("o_orderkey", "zone_id")
+    brute = pts.crossJoin(F.broadcast(zones)).where(
+        (F.col("x") >= F.col("xmin"))
+        & (F.col("x") <= F.col("xmax"))
+        & (F.col("y") >= F.col("ymin"))
+        & (F.col("y") <= F.col("ymax"))
+    ).select("o_orderkey", "zone_id")
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_pip_join_polygons_matches_rect_path(spark, sf_dir):
+    # encode the rect zones as WKB polygons; polygon kernel must agree
+    # with the SQL BETWEEN path except exact-boundary points (none in
+    # this derived data: coords have 3 decimals, zone edges are ints...
+    # boundary hits are possible but measure-zero; assert equality).
+    import pandas as pd
+
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+
+    zones_pd = synth_zones(spark).toPandas()
+    zones_pd["zone_wkb"] = [
+        wkb_dumps(
+            mk_poly(
+                [(r.xmin, r.ymin), (r.xmax, r.ymin), (r.xmax, r.ymax), (r.xmin, r.ymax)]
+            )
+        )
+        for r in zones_pd.itertuples()
+    ]
+    zones = spark.createDataFrame(zones_pd)
+    pts = order_points(spark, sf_dir)
+    got = pip_join_polygons(pts, zones, level=5).select("o_orderkey", "zone_id")
+    ref = pip_join_rects(pts, synth_zones(spark), level=5).select("o_orderkey", "zone_id")
+    # crossing-number is boundary-exclusive; BETWEEN is inclusive —
+    # allow only boundary rows to differ
+    diff = ref.exceptAll(got)
+    bounds_rows = (
+        pip_join_rects(pts, synth_zones(spark), level=5)
+        .where(
+            (F.col("x") == F.col("xmin"))
+            | (F.col("x") == F.col("xmax"))
+            | (F.col("y") == F.col("ymin"))
+            | (F.col("y") == F.col("ymax"))
+        )
+        .count()
+    )
+    assert got.exceptAll(ref).count() == 0
+    assert diff.count() <= bounds_rows
+
+
+def test_knn_ring_matches_bruteforce(spark, sf_dir):
+    probes = customer_points(spark, sf_dir)
+    zones = synth_zones(spark).select(
+        "zone_id",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("x"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("y"),
+    )
+    got = knn_join(probes, zones, "c_custkey", "zone_id", k=3, level=3, radius=2, guarantee_exact=True)
+    brute = knn_join_bruteforce(probes, zones, "c_custkey", "zone_id", k=3)
+    cols = ["c_custkey", "zone_id_nn", "knn_rank"]
+    assert got.select(cols).exceptAll(brute.select(cols)).count() == 0
+    assert brute.select(cols).exceptAll(got.select(cols)).count() == 0
+
+
+def test_bbox_join_matches_bruteforce(spark):
+    a = synth_zones(spark, 64)
+    b = synth_zones(spark, 32).withColumnRenamed("zone_id", "zid")
+    got = bbox_join(a, b.select("zid", "xmin", "ymin", "xmax", "ymax"), level=3).select(
+        "zone_id", "zid_r"
+    )
+    brute = (
+        a.crossJoin(
+            F.broadcast(
+                b.select(
+                    F.col("zid").alias("zid_r"),
+                    F.col("xmin").alias("bxmin"),
+                    F.col("ymin").alias("bymin"),
+                    F.col("xmax").alias("bxmax"),
+                    F.col("ymax").alias("bymax"),
+                )
+            )
+        )
+        .where(
+            (F.col("xmin") <= F.col("bxmax"))
+            & (F.col("bxmin") <= F.col("xmax"))
+            & (F.col("ymin") <= F.col("bymax"))
+            & (F.col("bymin") <= F.col("ymax"))
+        )
+        .select("zone_id", "zid_r")
+    )
+    assert got.exceptAll(brute).count() == 0
+    assert brute.exceptAll(got).count() == 0
+
+
+def test_pages_corpus_deterministic_and_text_invariant(spark):
+    pages = synth_pages(spark, 2000)
+    assert pages.count() == 2000
+    # deterministic: two builds agree byte-for-byte on text per url
+    again = synth_pages(spark, 2000).withColumnRenamed("text", "text2").select("url", "text2")
+    joined = pages.join(again, "url")
+    assert joined.where(F.col("text") != F.col("text2")).count() == 0
+    # pipeline invariant: a spatial op (tile assignment) must not touch text
+    out = assign_to_grid(pages, "x", "y", (0.0, 0.0, 1000.0, 1000.0), 16, 16)
+    joined2 = out.select("url", "text").join(again, "url")
+    assert joined2.where(F.col("text") != F.col("text2")).count() == 0
+    # skew exists: hotspot cell should be >5% of rows
+    top = (
+        assign_to_grid(pages, "x", "y", (0.0, 0.0, 1000.0, 1000.0), 16, 16)
+        .groupBy("tile_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    assert top["count"] > 0.05 * 2000
