@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship spatial pipeline on sf0.001 (pages corpus ->
+               PIP join -> tile rollup).
+queries()    — one entry per implemented operator (SURVEY.md §2 + the
+               training-data pipeline ops), each (spark, sf_dir) -> DF.
+oracle_sql() — DuckDB-runnable ANSI SQL mirrors. Geometry derivation
+               uses only integer arithmetic + IEEE double ops both
+               engines compute bit-identically (see corpus/pages.py).
+Non-SQL-expressible ops (minhash/simhash/lang-simplify/media) omit the
+oracle entry -> driver records rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +16,555 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring corpus/pages.py exactly
+# --------------------------------------------------------------------------
+ZONES_CTE = """
+zones AS (
+  SELECT i AS zone_id,
+         'z' || CAST(i AS VARCHAR) AS zone_name,
+         CAST((i % 8) * 125 + (i * 37) % 20 - 10 AS DOUBLE) AS xmin,
+         CAST((i // 8) * 125 + (i * 53) % 20 - 10 AS DOUBLE) AS ymin,
+         CAST((i % 8) * 125 + (i * 37) % 20 - 10 + 100 + (i * 29) % 40 AS DOUBLE) AS xmax,
+         CAST((i // 8) * 125 + (i * 53) % 20 - 10 + 100 + (i * 41) % 40 AS DOUBLE) AS ymax
+  FROM range(64) t(i)
+)"""
+
+ZONES32_CTE = ZONES_CTE.replace("range(64)", "range(32)").replace("zones AS", "zones32 AS")
+
+ORDER_PTS_CTE = """
+pts AS (
+  SELECT o_orderkey,
+         ((o_orderkey * 9973) % 1000000) / 1000.0 AS x,
+         ((o_orderkey * 6151) % 1000000) / 1000.0 AS y
+  FROM orders
+)"""
+
+CUST_PTS_CTE = ORDER_PTS_CTE.replace("o_orderkey", "c_custkey").replace(
+    "FROM orders", "FROM customer"
+).replace("pts AS", "cpts AS")
+
+DOC_WORDS_CTE = r"""
+w AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS words
+  FROM documents
+)"""
 
 
+def _zones_wkb_df(spark: SparkSession):
+    """Zone rectangles with WKB polygon + densified (101-coord) ring."""
+    import numpy as np
+
+    from pygeoops_spark.corpus.pages import synth_zones
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+
+    zpd = synth_zones(spark).toPandas()
+    wkbs, dense = [], []
+    for r in zpd.itertuples():
+        corners = [(r.xmin, r.ymin), (r.xmax, r.ymin), (r.xmax, r.ymax), (r.xmin, r.ymax)]
+        wkbs.append(wkb_dumps(mk_poly(corners)))
+        ring = []
+        for (x0, y0), (x1, y1) in zip(corners, corners[1:] + corners[:1]):
+            for t in np.linspace(0, 1, 26)[:-1]:  # 25 pts per edge -> 100 + closure
+                ring.append((x0 + (x1 - x0) * t, y0 + (y1 - y0) * t))
+        dense.append(wkb_dumps(mk_poly(ring)))
+    zpd["zone_wkb"] = wkbs
+    zpd["zone_wkb_dense"] = dense
+    return spark.createDataFrame(zpd)
+
+
+# --------------------------------------------------------------------------
+# entry — flagship pipeline
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize the Common-Crawl-style pages corpus, assign
+    pages to grid tiles, spatial-join to zones, roll up counts per
+    (zone, tile). Exercises corpus synthesis, cell-index PIP join
+    (broadcast, no point shuffle), tile assignment, and aggregation."""
+    from pygeoops_spark.corpus.pages import synth_pages, synth_zones
+    from pygeoops_spark.join.pip import pip_join_rects
+    from pygeoops_spark.operators.grid import assign_to_grid
+
+    pages = synth_pages(spark, 5000)
+    zones = synth_zones(spark)
+    joined = pip_join_rects(pages, zones, x="x", y="y", level=5)
+    tiled = assign_to_grid(joined, "x", "y", (0.0, 0.0, 1000.0, 1000.0), 8, 8)
+    return (
+        tiled.groupBy("zone_id", "tile_id")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+        )
+        .orderBy("zone_id", "tile_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def _q_grid_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.operators.grid import create_grid
+
+    return create_grid(spark, (40000.0, 160000.0, 45000.0, 210000.0), 4, 3)
+
+
+def _q_grid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.operators.grid import create_grid, split_tiles
+
+    base = create_grid(spark, (40.0, 40.0, 45.0, 46.0), 2, 2)
+    return split_tiles(base, 12).select("tile_id", "xmin", "ymin", "xmax", "ymax")
+
+
+def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.corpus.pages import order_points
+    from pygeoops_spark.operators.grid import assign_to_grid
+
+    pts = order_points(spark, sf_dir)
+    g = assign_to_grid(pts, "x", "y", (0.0, 0.0, 1000.0, 1000.0), 8, 8)
+    return g.groupBy("tile_id", "tile_col", "tile_row").agg(
+        F.count("*").alias("n_points")
+    )
+
+
+def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.corpus.pages import order_points, synth_zones
+    from pygeoops_spark.join.pip import pip_join_rects
+
+    return pip_join_rects(order_points(spark, sf_dir), synth_zones(spark), level=5).select(
+        "o_orderkey", "zone_id"
+    )
+
+
+def _q_pip_join_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join through the general polygon kernel path (WKB + PIP
+    pandas UDF). Rect zones are open-boundary under crossing-number;
+    derived points never sit exactly on zone edges (3-decimal coords vs
+    integer edges with .0 offsets... boundary hits excluded by the
+    oracle's strict inequalities)."""
+    from pygeoops_spark.corpus.pages import order_points
+    from pygeoops_spark.join.pip import pip_join_polygons
+
+    zones = _zones_wkb_df(spark).select("zone_id", "xmin", "ymin", "xmax", "ymax", "zone_wkb")
+    return pip_join_polygons(order_points(spark, sf_dir), zones, level=5).select(
+        "o_orderkey", "zone_id"
+    )
+
+
+def _q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.corpus.pages import synth_zones
+    from pygeoops_spark.join.bbox import bbox_join
+
+    a = synth_zones(spark, 64).select("zone_id", "xmin", "ymin", "xmax", "ymax")
+    b = synth_zones(spark, 32).select(
+        F.col("zone_id").alias("zid"), "xmin", "ymin", "xmax", "ymax"
+    )
+    return bbox_join(a, b, level=3).select("zone_id", F.col("zid_r").alias("zid_b"))
+
+
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.corpus.pages import customer_points, synth_zones
+    from pygeoops_spark.join.knn import knn_join
+
+    centers = synth_zones(spark).select(
+        "zone_id",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("x"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("y"),
+    )
+    out = knn_join(
+        customer_points(spark, sf_dir),
+        centers,
+        "c_custkey",
+        "zone_id",
+        k=3,
+        level=3,
+        radius=2,
+        guarantee_exact=True,
+    )
+    return out.select("c_custkey", "zone_id_nn", "knn_rank")
+
+
+def _q_view_angles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.operators.view_angles import view_angles_col
+
+    zones = _zones_wkb_df(spark).select("zone_id", "zone_wkb")
+    va = view_angles_col(-50.0, -50.0, "zone_wkb")
+    return zones.select(
+        "zone_id",
+        F.round(va["angle_start"], 6).alias("angle_start"),
+        F.round(va["angle_end"], 6).alias("angle_end"),
+    )
+
+
+def _q_simplify_rdp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.operators.simplify import num_coords_col, simplify_col
+
+    zones = _zones_wkb_df(spark).select("zone_id", "zone_wkb_dense")
+    simplified = simplify_col("zone_wkb_dense", 0.1, "rdp")
+    return zones.select(
+        "zone_id",
+        num_coords_col("zone_wkb_dense").alias("n_before"),
+        num_coords_col(simplified).alias("n_after"),
+    )
+
+
+def _q_simplify_vw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.operators.simplify import num_coords_col, simplify_col
+
+    zones = _zones_wkb_df(spark).select("zone_id", "zone_wkb_dense")
+    simplified = simplify_col("zone_wkb_dense", 0.5, "vw")
+    return zones.select(
+        "zone_id",
+        num_coords_col("zone_wkb_dense").alias("n_before"),
+        num_coords_col(simplified).alias("n_after"),
+    )
+
+
+def _q_simplify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: lang kernel window semantics aren't SQL-expressible."""
+    from pygeoops_spark.operators.simplify import num_coords_col, simplify_col
+
+    zones = _zones_wkb_df(spark).select("zone_id", "zone_wkb_dense")
+    simplified = simplify_col("zone_wkb_dense", 0.1, "lang", lookahead=8)
+    return zones.select("zone_id", num_coords_col(simplified).alias("n_after"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.text.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs)
+
+
+def _q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.text.dedup import prefix_fingerprint_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prefix_fingerprint_dedup(docs, prefix_len=40)
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.text.quality import subtoken_estimate, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_words"),
+        subtoken_estimate("text").alias("n_subtokens"),
+    )
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.text.quality import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features(docs).select(
+        "doc_id",
+        "n_chars_q",
+        "n_words",
+        "stopword_ratio",
+        "punct_ratio",
+        "avg_word_len",
+        "quality_score",
+    )
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.text.quality import langid
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return langid(docs).select(
+        "doc_id", "score_en", "score_es", "score_de", "score_fr", "lang_pred"
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.text.quality import doc_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.text.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: murmur/xxhash-based signatures aren't reproducible in
+    the DuckDB oracle; exactness is covered by test_text.py comparing
+    LSH-verified pairs against exact jaccard_pairs."""
+    from pygeoops_spark.text.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, threshold=0.2)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (same hash-portability reason as minhash)."""
+    from pygeoops_spark.text.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, max_hamming=12)
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pygeoops_spark.ann.cosine import cosine_topk_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 50)
+    return cosine_topk_bruteforce(queries, emb, k=5).select(
+        "query_id", "neighbor_id", "ann_rank"
+    )
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: approximate by construction (recall measured in tests)."""
+    from pygeoops_spark.ann.cosine import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 50)
+    return cosine_topk_lsh(queries, emb, k=5).select(
+        "query_id", "neighbor_id", "ann_rank"
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: multimodal plumbing (fake decode, real Spark shape)."""
+    from pygeoops_spark.text.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 1000)
+    return extract_features(media).select("media_id", "kind", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "grid_create": _q_grid_create,
+        "grid_split": _q_grid_split,
+        "tile_assign": _q_tile_assign,
+        "pip_join": _q_pip_join,
+        "pip_join_poly": _q_pip_join_poly,
+        "bbox_join": _q_bbox_join,
+        "knn_join": _q_knn_join,
+        "view_angles": _q_view_angles,
+        "simplify_rdp": _q_simplify_rdp,
+        "simplify_vw": _q_simplify_vw,
+        "simplify_lang": _q_simplify_lang,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_prefix": _q_dedup_prefix,
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "langid": _q_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_cosine": _q_ann_cosine,
+        "ann_lsh": _q_ann_lsh,
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# --------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "grid_create": """
+            -- all arithmetic forced to DOUBLE so the IEEE ops match
+            -- Spark bit-for-bit (DuckDB decimal literals would not)
+            SELECT i AS tile_id,
+                   CAST(i // 3 AS INT) AS col,
+                   CAST(i % 3 AS INT) AS row,
+                   CAST(40000 AS DOUBLE) + (i // 3) * CAST(1250 AS DOUBLE) AS xmin,
+                   CAST(160000 AS DOUBLE) + (i % 3) * (CAST(50000 AS DOUBLE) / 3) AS ymin,
+                   CAST(40000 AS DOUBLE) + (i // 3 + 1) * CAST(1250 AS DOUBLE) AS xmax,
+                   CAST(160000 AS DOUBLE) + (i % 3 + 1) * (CAST(50000 AS DOUBLE) / 3) AS ymax
+            FROM range(12) t(i)
+        """,
+        "grid_split": """
+            -- 2x2 grid of (40,40,45,46) split with ratio 3 -> each tile
+            -- becomes 3 horizontal slabs (height 3 > width 2.5)
+            SELECT (c * 2 + r) AS tile_id,
+                   CAST(40 AS DOUBLE) + c * CAST(2.5 AS DOUBLE) AS xmin,
+                   CAST(40 AS DOUBLE) + r * CAST(3 AS DOUBLE) + s * CAST(1 AS DOUBLE) AS ymin,
+                   CAST(40 AS DOUBLE) + (c + 1) * CAST(2.5 AS DOUBLE) AS xmax,
+                   CAST(40 AS DOUBLE) + r * CAST(3 AS DOUBLE) + (s + 1) * CAST(1 AS DOUBLE) AS ymax
+            FROM range(2) a(c), range(2) b(r), range(3) g(s)
+        """,
+        "tile_assign": f"""
+            WITH {ORDER_PTS_CTE.strip()}
+            SELECT CAST(least(floor(x / 125.0), 7) * 8 + least(floor(y / 125.0), 7) AS BIGINT) AS tile_id,
+                   CAST(least(floor(x / 125.0), 7) AS INT) AS tile_col,
+                   CAST(least(floor(y / 125.0), 7) AS INT) AS tile_row,
+                   count(*) AS n_points
+            FROM pts
+            GROUP BY 1, 2, 3
+        """,
+        "pip_join": f"""
+            WITH {ZONES_CTE.strip()}, {ORDER_PTS_CTE.strip()}
+            SELECT p.o_orderkey, z.zone_id
+            FROM pts p JOIN zones z
+              ON p.x >= z.xmin AND p.x <= z.xmax AND p.y >= z.ymin AND p.y <= z.ymax
+        """,
+        "pip_join_poly": f"""
+            -- crossing-number semantics on an axis-aligned rectangle are
+            -- half-open: [xmin, xmax) x [ymin, ymax)
+            WITH {ZONES_CTE.strip()}, {ORDER_PTS_CTE.strip()}
+            SELECT p.o_orderkey, z.zone_id
+            FROM pts p JOIN zones z
+              ON p.x >= z.xmin AND p.x < z.xmax AND p.y >= z.ymin AND p.y < z.ymax
+        """,
+        "bbox_join": f"""
+            WITH {ZONES_CTE.strip()}, {ZONES32_CTE.strip()}
+            SELECT a.zone_id, b.zone_id AS zid_b
+            FROM zones a JOIN zones32 b
+              ON a.xmin <= b.xmax AND b.xmin <= a.xmax
+             AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+        """,
+        "knn_join": f"""
+            WITH {ZONES_CTE.strip()}, {CUST_PTS_CTE.strip()},
+            centers AS (
+              SELECT zone_id, (xmin + xmax) / 2 AS zx, (ymin + ymax) / 2 AS zy FROM zones
+            ),
+            d AS (
+              SELECT p.c_custkey, c.zone_id,
+                     sqrt((p.x - c.zx) * (p.x - c.zx) + (p.y - c.zy) * (p.y - c.zy)) AS dist
+              FROM cpts p CROSS JOIN centers c
+            ),
+            r AS (
+              SELECT c_custkey, zone_id AS zone_id_nn,
+                     row_number() OVER (PARTITION BY c_custkey ORDER BY dist ASC, zone_id ASC) AS rk
+              FROM d
+            )
+            SELECT c_custkey, zone_id_nn, CAST(rk AS INT) AS knn_rank FROM r WHERE rk <= 3
+        """,
+        "view_angles": f"""
+            WITH {ZONES_CTE.strip()},
+            corners AS (
+              SELECT zone_id, unnest([
+                degrees(atan2(ymin + 50.0, xmin + 50.0)),
+                degrees(atan2(ymin + 50.0, xmax + 50.0)),
+                degrees(atan2(ymax + 50.0, xmax + 50.0)),
+                degrees(atan2(ymax + 50.0, xmin + 50.0))
+              ]) AS ang
+              FROM zones
+            )
+            SELECT zone_id, round(min(ang), 6) AS angle_start, round(max(ang), 6) AS angle_end
+            FROM corners GROUP BY zone_id
+        """,
+        "simplify_rdp": """
+            -- densified rectangle rings (101 coords) simplify to the 4
+            -- corners + closure under RDP
+            SELECT i AS zone_id, 101 AS n_before, 5 AS n_after FROM range(64) t(i)
+        """,
+        "simplify_vw": """
+            SELECT i AS zone_id, 101 AS n_before, 5 AS n_after FROM range(64) t(i)
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "dedup_prefix": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY substr(text, 1, 40)
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+                   CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_subtokens
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars_q,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+                     len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         w -> list_contains(['the','of','and','to','in','is','was','for','on','that'], lower(w)))) AS sw,
+                     length(regexp_extract_all(text, '[.,;:!?]')) AS np
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, n_chars_q, n_words,
+                     round(sw / CAST(n_words AS DOUBLE), 6) AS stopword_ratio,
+                     round(np / CAST(n_chars_q AS DOUBLE), 6) AS punct_ratio,
+                     round(n_chars_q / CAST(n_words AS DOUBLE), 6) AS avg_word_len
+              FROM f
+            )
+            SELECT doc_id, n_chars_q, n_words, stopword_ratio, punct_ratio, avg_word_len,
+                   round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                         + least(stopword_ratio * CAST(5 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                         + CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+                         6) AS quality_score
+            FROM g
+        """,
+        "langid": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(lower(text), '\b(the|and|of|is|was)\b')) AS BIGINT) AS score_en,
+                     CAST(length(regexp_extract_all(lower(text), '\b(el|la|de|que|los)\b')) AS BIGINT) AS score_es,
+                     CAST(length(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS BIGINT) AS score_de,
+                     CAST(length(regexp_extract_all(lower(text), '\b(le|la|les|des|est)\b')) AS BIGINT) AS score_fr
+              FROM documents
+            )
+            SELECT doc_id, score_en, score_es, score_de, score_fr,
+                   CASE
+                     WHEN score_en = 0 AND score_es = 0 AND score_de = 0 AND score_fr = 0 THEN 'und'
+                     WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr THEN 'en'
+                     WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
+                     WHEN score_de >= score_fr THEN 'de'
+                     ELSE 'fr'
+                   END AS lang_pred
+            FROM s
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(7 AS BIGINT),
+                       list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                      w -> CAST(ascii(w) + length(w) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007) AS fp
+            FROM documents
+        """,
+        "jaccard_pairs": f"""
+            WITH {DOC_WORDS_CTE.strip()},
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(words) - 2, 1)),
+                       i -> array_to_string(words[i:i+2], ' '))) AS shingles
+              FROM w
+            ),
+            e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                     count(*) AS common
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(common / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+            FROM pairs
+            WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.2
+        """,
+        "ann_cosine": """
+            WITH sim AS (
+              SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                     list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[]))
+                       / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(t.embedding AS DOUBLE[]), CAST(t.embedding AS DOUBLE[])))) AS s
+              FROM embeddings q CROSS JOIN embeddings t
+              WHERE q.vec_id < 50 AND q.vec_id != t.vec_id
+            ),
+            r AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id ASC) AS rk
+              FROM sim
+            )
+            SELECT query_id, neighbor_id, CAST(rk AS INT) AS ann_rank FROM r WHERE rk <= 5
+        """,
+    }

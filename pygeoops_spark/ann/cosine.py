@@ -1,0 +1,200 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``cosine_topk_bruteforce`` — exact top-k per query via broadcast
+  cross-join; the dot product is `F.zip_with` + `F.aggregate` in double
+  precision (JVM-side, no Python). Baseline and correctness oracle.
+* ``cosine_topk_lsh`` — the scale path: sign-random-projection (SRP)
+  buckets from deterministic hyperplanes; candidates share >= 1 band of
+  the bit signature; exact cosine re-ranks candidates. At 10^9+ rows
+  the bucket join replaces the cross-join's O(N*Q) with ~O(Q * bucket).
+* ``cosine_topk_ivf`` — IVF-style: targets assigned to the nearest of
+  C centroid rows (broadcast), probes scan only `nprobe` closest lists.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    q_id: str = "vec_id",
+    t_id: str = "vec_id",
+    q_vec: str = "embedding",
+    t_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k; excludes self-matches (same id).
+
+    Output: query_id, neighbor_id, cos_sim (rounded 1e-6), ann_rank.
+    """
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    t = F.broadcast(targets.select(F.col(t_id).alias("neighbor_id"), F.col(t_vec).alias("_tv")))
+    cand = q.crossJoin(t).where(F.col("query_id") != F.col("neighbor_id"))
+    sim = _dot(F.col("_qv"), F.col("_tv")) / (_norm(F.col("_qv")) * _norm(F.col("_tv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("ann_rank", F.row_number().over(w))
+        .where(F.col("ann_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "ann_rank")
+    )
+
+
+def _srp_planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _srp_sig(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Bit signature: sign of projection onto each plane (pure SQL —
+    per-plane dot products via aggregate over zipped literals)."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    n_bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    q_id: str = "vec_id",
+    t_id: str = "vec_id",
+    q_vec: str = "embedding",
+    t_vec: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH approximate top-k: candidates share at least one band of
+    the `n_bits`-bit signature; exact cosine re-ranks. Recall improves
+    with bands; candidates per query ~ N * bands / 2^(n_bits/bands)."""
+    planes = _srp_planes(dim, n_bits)
+    bits_per_band = n_bits // bands
+
+    def banded(df: DataFrame, idc: str, vecc: str, role: str) -> DataFrame:
+        sig = _srp_sig(vecc, planes).alias("_sig")
+        d = df.select(F.col(idc).alias(f"{role}_id"), F.col(vecc).alias(f"_{role}v"), sig)
+        return d.select(
+            f"{role}_id",
+            f"_{role}v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.shiftright(F.col("_sig"), b * bits_per_band)
+                            .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                            .alias("v"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(f"{role}_id", f"_{role}v", "band.b", "band.v")
+
+    qb = banded(queries, q_id, q_vec, "query")
+    tb = banded(targets, t_id, t_vec, "neighbor")
+    cand = (
+        qb.join(tb, ["b", "v"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_queryv", "neighbor_id", "_neighborv")
+        .distinct()
+    )
+    sim = _dot(F.col("_queryv"), F.col("_neighborv")) / (
+        _norm(F.col("_queryv")) * _norm(F.col("_neighborv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("ann_rank", F.row_number().over(w))
+        .where(F.col("ann_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "ann_rank")
+    )
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    targets: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    q_id: str = "vec_id",
+    t_id: str = "vec_id",
+    q_vec: str = "embedding",
+    t_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-flat: coarse quantize targets to the nearest of n_cells
+    centroids (sampled deterministically from the targets themselves —
+    first n_cells by id — a k-means seed without iteration), probes
+    search the nprobe nearest lists. Exact cosine within visited lists.
+    """
+    cent = F.broadcast(
+        targets.orderBy(F.col(t_id)).limit(n_cells).select(
+            F.col(t_id).alias("cell"), F.col(t_vec).alias("_cv")
+        )
+    )
+
+    def assign(df: DataFrame, idc: str, vecc: str, role: str, n_lists: int) -> DataFrame:
+        d = df.select(F.col(idc).alias(f"{role}_id"), F.col(vecc).alias(f"_{role}v"))
+        j = d.crossJoin(cent)
+        sim = _dot(F.col(f"_{role}v"), F.col("_cv")) / (
+            _norm(F.col(f"_{role}v")) * _norm(F.col("_cv"))
+        )
+        w = Window.partitionBy(f"{role}_id").orderBy(F.desc("_csim"), F.asc("cell"))
+        return (
+            j.withColumn("_csim", sim)
+            .withColumn("_crank", F.row_number().over(w))
+            .where(F.col("_crank") <= n_lists)
+            .select(f"{role}_id", f"_{role}v", "cell")
+        )
+
+    t_assigned = assign(targets, t_id, t_vec, "neighbor", 1)
+    q_assigned = assign(queries, q_id, q_vec, "query", nprobe)
+    cand = (
+        q_assigned.join(t_assigned, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_queryv", "neighbor_id", "_neighborv")
+        .distinct()
+    )
+    sim = _dot(F.col("_queryv"), F.col("_neighborv")) / (
+        _norm(F.col("_queryv")) * _norm(F.col("_neighborv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("ann_rank", F.row_number().over(w))
+        .where(F.col("ann_rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "ann_rank")
+    )

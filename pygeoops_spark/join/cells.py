@@ -89,9 +89,10 @@ def zorder_id(x: Column | str, y: Column | str, level: int) -> Column:
     ix, iy = cell_coord(x, level), cell_coord(y, level)
     z = F.lit(0).cast("long")
     for b in range(level):
+        # disjoint bit positions => addition == bitwise or
         z = (
             z
-            | F.shiftleft(F.shiftright(ix, b) % 2, 2 * b + 1)
-            | F.shiftleft(F.shiftright(iy, b) % 2, 2 * b)
+            + F.shiftleft(F.shiftright(ix, b) % 2, 2 * b + 1)
+            + F.shiftleft(F.shiftright(iy, b) % 2, 2 * b)
         )
     return z

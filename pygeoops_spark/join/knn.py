@@ -50,9 +50,9 @@ def knn_join(
 
     p = probes.withColumn("_cell", F.explode(ring_cells(px, py, level, radius)))
     cand = p.join(t, "_cell").drop("_cell")
-    dist = F.sqrt(
-        (F.col(px) - F.col("_tx")) ** 2 + (F.col(py) - F.col("_ty")) ** 2
-    ).alias("dist")
+    dx, dy = F.col(px) - F.col("_tx"), F.col(py) - F.col("_ty")
+    # dx*dx (not pow) so the doubles are bit-identical to the SQL oracle
+    dist = F.sqrt(dx * dx + dy * dy).alias("dist")
     nn_col = target_key + "_nn"
     w = Window.partitionBy(probe_key).orderBy(F.col("dist").asc(), F.col(nn_col).asc())
     ranked = (
@@ -112,7 +112,8 @@ def knn_join_bruteforce(
         )
     )
     cand = probes.crossJoin(t)
-    dist = F.sqrt((F.col(px) - F.col("_tx")) ** 2 + (F.col(py) - F.col("_ty")) ** 2).alias("dist")
+    dx, dy = F.col(px) - F.col("_tx"), F.col(py) - F.col("_ty")
+    dist = F.sqrt(dx * dx + dy * dy).alias("dist")
     nn_col = target_key + "_nn"
     w = Window.partitionBy(probe_key).orderBy(F.col("dist").asc(), F.col(nn_col).asc())
     return (

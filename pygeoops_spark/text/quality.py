@@ -1,0 +1,113 @@
+"""Text quality / statistics operators (pure Spark SQL expressions).
+
+Each helper returns Column expressions so they compose into a single
+projection over the scan (no shuffle, fully codegen). The DuckDB oracle
+mirrors of these expressions live in __spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "of", "and", "to", "in", "is", "was", "for", "on", "that")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "was"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "les", "des", "est"),
+}
+
+
+def words_col(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BPE-ish subtoken estimate = chars/4 is
+    provided separately)."""
+    return F.size(words_col(text))
+
+
+def subtoken_estimate(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.ceil(F.length(text) / F.lit(4)).cast("long")
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    w = words_col(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(w, lambda x: F.array_contains(sw, F.lower(x))))
+
+
+def punct_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(text, F.lit(r"[.,;:!?]"))
+
+
+def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Adds n_chars_q, n_words, stopword_ratio, punct_ratio, avg_word_len,
+    quality_score — one projection, no shuffle."""
+    n_words = token_count(text)
+    n_chars = F.length(F.col(text))
+    sw = stopword_count(text)
+    out = (
+        df.withColumn("n_chars_q", n_chars.cast("long"))
+        .withColumn("n_words", n_words.cast("long"))
+        .withColumn("stopword_ratio", F.round(sw / n_words, 6))
+        .withColumn("punct_ratio", F.round(punct_count(text) / n_chars, 6))
+        .withColumn("avg_word_len", F.round(n_chars / n_words, 6))
+    )
+    # heuristic [0,1] score: long enough, has stopwords, sane word length
+    score = (
+        F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.4
+        + F.when((F.col("avg_word_len") >= 3) & (F.col("avg_word_len") <= 10), 0.2).otherwise(0.0)
+    )
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def langid_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-word hit counts (word-boundary regex)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return {
+        lang: F.regexp_count(F.lower(text), F.lit(r"\b(" + "|".join(ws) + r")\b"))
+        for lang, ws in LANG_MARKERS.items()
+    }
+
+
+def langid(df: DataFrame, text: str = "text") -> DataFrame:
+    """Adds lang_pred: argmax of marker hits, 'und' when all zero.
+    Deterministic tie-break: first language in LANG_MARKERS order wins.
+    """
+    scores = langid_scores(text)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # forward order + strict '>' => ties favor the earliest language in
+    # LANG_MARKERS order (en first), matching the SQL oracle's CASE
+    for lang in scores:
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s.cast("long"))
+    return out.withColumn("lang_pred", best)
+
+
+def doc_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
+    """Order-sensitive polynomial rolling hash over words, engine-portable:
+    acc = (acc*31 + ascii(first_char) + length(word)) % mod.
+
+    Uses only arithmetic both Spark and DuckDB evaluate identically —
+    no murmur/xxhash, so the DuckDB oracle can replicate it.
+    """
+    w = words_col(text)
+    return F.aggregate(
+        w,
+        F.lit(7).cast("long"),
+        lambda acc, x: (acc * 31 + F.ascii(x) + F.length(x)) % mod,
+    )
