@@ -126,12 +126,16 @@ def point_in_polygon_prepared(rings: list[tuple[np.ndarray, bool]]):
 def point_segment_distance(
     px: np.ndarray, py: np.ndarray, ax, ay, bx, by
 ) -> np.ndarray:
-    """Distance from points to segment AB (true segment, not line)."""
+    """Distance from points to segment AB (true segment, not line).
+    All of px/py/ax/ay/bx/by may be scalars or broadcastable arrays."""
     dx, dy = bx - ax, by - ay
     seg_len2 = dx * dx + dy * dy
-    if seg_len2 == 0:
-        return np.hypot(px - ax, py - ay)
-    t = np.clip(((px - ax) * dx + (py - ay) * dy) / seg_len2, 0.0, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.clip(
+            np.where(seg_len2 == 0, 0.0, ((px - ax) * dx + (py - ay) * dy) / np.where(seg_len2 == 0, 1.0, seg_len2)),
+            0.0,
+            1.0,
+        )
     return np.hypot(px - (ax + t * dx), py - (ay + t * dy))
 
 

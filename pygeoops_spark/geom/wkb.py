@@ -123,7 +123,10 @@ def _close_ring(arr: np.ndarray) -> np.ndarray:
 
 
 def polygon(shell: Sequence, holes: Iterable[Sequence] = (), dims: str = "xy") -> Geometry:
-    rings = [_close_ring(np.asarray(shell, dtype=np.float64))]
+    shell_arr = np.asarray(shell, dtype=np.float64)
+    if shell_arr.size == 0:
+        return empty(POLYGON, dims)
+    rings = [_close_ring(shell_arr)]
     for h in holes:
         rings.append(_close_ring(np.asarray(h, dtype=np.float64)))
     if dims == "xy" and rings[0].shape[1] > 2:
