@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -230,6 +232,53 @@ def _q_simplify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zones.select("zone_id", num_coords_col(simplified).alias("n_after"))
 
 
+def _q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """difference_all kernel: each zone minus two 20x20 boxes strictly
+    inside it -> polygon with 2 holes. Oracle: pure arithmetic (area =
+    w*h - 800, 3 rings)."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.geom.difference import difference_all
+    from pygeoops_spark.geom.wkb import wkb_loads
+    from pygeoops_spark.corpus.pages import synth_zones
+    from pyspark.sql.types import BinaryType
+
+    zones = synth_zones(spark)
+
+    @F.pandas_udf(BinaryType())
+    def diff_ud(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        out = []
+        for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax):
+            zone = mk_poly([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+            subs = [
+                mk_poly([(x0 + 10, y0 + 10), (x0 + 30, y0 + 10), (x0 + 30, y0 + 30), (x0 + 10, y0 + 30)]),
+                mk_poly([(x1 - 30, y1 - 30), (x1 - 10, y1 - 30), (x1 - 10, y1 - 10), (x1 - 30, y1 - 10)]),
+            ]
+            r = difference_all(zone, subs)
+            out.append(wkb_dumps(r) if r is not None else None)
+        return pd.Series(out)
+
+    from pygeoops_spark.operators.difference import area_col, num_rings_col
+
+    res = zones.withColumn("_res", diff_ud("xmin", "ymin", "xmax", "ymax"))
+    return res.select(
+        "zone_id",
+        F.round(area_col("_res"), 6).alias("area"),
+        num_rings_col("_res").alias("n_rings"),
+    )
+
+
+def _q_subdivide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """subdivide: densified zone rings (101 coords) split into ~4
+    squarish tiles at num_coords_max=30."""
+    from pygeoops_spark.operators.difference import subdivide_col
+
+    zones = _zones_wkb_df(spark).select("zone_id", "zone_wkb_dense")
+    return zones.select(
+        "zone_id",
+        F.size(subdivide_col("zone_wkb_dense", 30)).alias("n_parts"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.text.dedup import exact_dedup
 
@@ -353,6 +402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_rdp": _q_simplify_rdp,
         "simplify_vw": _q_simplify_vw,
         "simplify_lang": _q_simplify_lang,
+        "difference": _q_difference,
+        "subdivide": _q_subdivide,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "token_count": _q_token_count,
@@ -463,6 +514,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simplify_vw": """
             SELECT i AS zone_id, 101 AS n_before, 5 AS n_after FROM range(64) t(i)
+        """,
+        "difference": f"""
+            WITH {ZONES_CTE.strip()}
+            SELECT zone_id,
+                   round((xmax - xmin) * (ymax - ymin) - CAST(800 AS DOUBLE), 6) AS area,
+                   3 AS n_rings
+            FROM zones
+        """,
+        "subdivide": """
+            SELECT i AS zone_id, 4 AS n_parts FROM range(64) t(i)
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count

@@ -1,0 +1,153 @@
+"""Overlay + difference kernel tests against reference expectations
+(reference tests/test_difference.py, values derived geometrically)."""
+
+import numpy as np
+import pytest
+
+from pygeoops_spark.geom import linestring, point, polygon
+from pygeoops_spark.geom.difference import difference_all, difference_all_tiled
+from pygeoops_spark.geom.general import collect
+from pygeoops_spark.geom.kernels import geom_length, polygon_area
+from pygeoops_spark.geom.overlay import (
+    polygon_difference,
+    polygon_intersection,
+    polygon_union,
+)
+
+
+def box(x0, y0, x1, y1):
+    return polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+
+
+# -- primitive overlay ----------------------------------------------------
+def test_union_disjoint():
+    u = polygon_union([box(0, 0, 1, 1), box(2, 0, 3, 1)])
+    assert u.geom_type == "MULTIPOLYGON"
+    assert polygon_area(u) == pytest.approx(2.0)
+
+
+def test_union_overlapping():
+    u = polygon_union([box(0, 0, 2, 2), box(1, 1, 3, 3)])
+    assert u.geom_type == "POLYGON"
+    assert polygon_area(u) == pytest.approx(7.0)
+
+
+def test_union_adjacent_edge_sharing():
+    u = polygon_union([box(0, 0, 1, 1), box(1, 0, 2, 1)])
+    assert polygon_area(u) == pytest.approx(2.0)
+    assert u.geom_type == "POLYGON"  # shared edge dissolves
+
+
+def test_union_many_tiles_reassemble():
+    tiles = [box(i, j, i + 1, j + 1) for i in range(3) for j in range(3)]
+    u = polygon_union(tiles)
+    assert u.geom_type == "POLYGON"
+    assert polygon_area(u) == pytest.approx(9.0)
+    assert geom_length(u) == pytest.approx(12.0)
+
+
+def test_intersection_basic():
+    i = polygon_intersection(box(0, 0, 2, 2), box(1, 1, 3, 3))
+    assert polygon_area(i) == pytest.approx(1.0)
+    assert polygon_intersection(box(0, 0, 1, 1), box(5, 5, 6, 6)) is None
+
+
+def test_difference_overlap():
+    d = polygon_difference(box(0, 0, 2, 2), box(1, 1, 3, 3))
+    assert polygon_area(d) == pytest.approx(3.0)
+
+
+def test_difference_hole_punch():
+    d = polygon_difference(box(0, 0, 10, 10), box(4, 4, 6, 6))
+    assert d.geom_type == "POLYGON"
+    assert len(d.data) == 2  # shell + hole
+    assert polygon_area(d) == pytest.approx(96.0)
+
+
+def test_difference_split_into_two():
+    # vertical slab cuts the box into two parts
+    d = polygon_difference(box(0, 0, 10, 10), box(4, -1, 6, 11))
+    assert d.geom_type == "MULTIPOLYGON"
+    assert polygon_area(d) == pytest.approx(80.0)
+
+
+def test_difference_contained_empty():
+    assert polygon_difference(box(2, 2, 3, 3), box(0, 0, 10, 10)) is None
+
+
+# -- difference_all (reference tests/test_difference.py:12-75) ------------
+def test_difference_all_single():
+    small = box(0, 0, 5, 5)
+    large = polygon([(0, 2), (50, 2), (50, 50), (0, 50)])
+    d1 = difference_all(small, large)
+    assert polygon_area(d1) == pytest.approx(10.0)  # box(0,0,5,2)
+    d2 = difference_all(large, small)
+    assert polygon_area(d2) == pytest.approx(2400 - 15)
+
+
+def test_difference_all_line():
+    line = linestring([(0, 0), (50, 0)])
+    small = box(0, 0, 5, 5)
+    d = difference_all(line, small)
+    assert d.geom_type == "LINESTRING"
+    assert geom_length(d) == pytest.approx(45.0)
+
+
+def test_difference_all_multiple_subtrahends():
+    large = polygon([(0, 2), (50, 2), (50, 50), (0, 50)])
+    small = box(0, 0, 5, 5)
+    small2 = box(45, 0, 50, 5)
+    d = difference_all(large, [small, small2])
+    assert polygon_area(d) == pytest.approx(2400 - 15 - 15)
+
+
+def test_difference_all_keep_geom_type():
+    line = linestring([(0, 0), (50, 0)])
+    large = polygon([(0, 2), (50, 2), (50, 50), (0, 50)])
+    coll = collect([line, large])
+    small, small2 = box(0, 0, 5, 5), box(45, 0, 50, 5)
+    assert difference_all(coll, [small, small2]).geom_type == "GEOMETRYCOLLECTION"
+    assert (
+        difference_all(coll, [small, small2], keep_geom_type=True).geom_type
+        == "GEOMETRYCOLLECTION"
+    )
+    assert difference_all(coll, [small, small2], keep_geom_type=3).geom_type == "POLYGON"
+    assert (
+        difference_all(coll, [small, small2], keep_geom_type=2).geom_type == "LINESTRING"
+    )
+    assert difference_all(coll, [small, small2], keep_geom_type=1) is None
+
+
+def test_difference_all_none_empty():
+    assert difference_all(None, None) is None
+    p = point(1, 1)
+    assert difference_all(p, None) == p
+    assert difference_all(p, [box(0, 0, 2, 2)]) is None
+    assert difference_all(p, [box(5, 5, 6, 6)]) == p
+
+
+# -- difference_all_tiled (reference tests/test_difference.py:83-153) -----
+def test_difference_all_tiled_basic():
+    small = box(0, 0, 5, 5)
+    large = box(0, 0, 50, 50)
+    d = difference_all_tiled(large, small)
+    assert polygon_area(d) == pytest.approx(2500 - 25)
+    d2 = difference_all_tiled(small, large)
+    assert d2 is None or d2.is_empty
+
+
+def test_difference_all_tiled_complex():
+    # many-coord comb polygon forces subdivision; area must match the
+    # untiled difference
+    n = 120
+    ring = [(0.0, 0.0)]
+    for i in range(n):
+        ring += [(i + 0.25, 0.0), (i + 0.25, 5.0), (i + 0.75, 5.0), (i + 0.75, 0.0)]
+    ring += [(float(n), 0.0), (float(n), -5.0), (0.0, -5.0)]
+    comb = polygon(ring)
+    subs = [box(10 * k, -2, 10 * k + 3, 2) for k in range(10)]
+    base = difference_all(comb, subs)
+    tiled = difference_all_tiled(comb, subs, subdivide_coords=100)
+    assert base is not None and tiled is not None
+    assert polygon_area(tiled) == pytest.approx(polygon_area(base), rel=1e-9)
+    assert polygon_area(tiled) < polygon_area(comb)

@@ -1,0 +1,80 @@
+"""Spark-layer geometry operator tests: simplify/view-angles UDFs and
+the distributed difference pipeline vs single-node kernel results."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps, wkb_loads
+from pygeoops_spark.geom.difference import difference_all_tiled
+from pygeoops_spark.geom.kernels import polygon_area
+
+
+def box(x0, y0, x1, y1):
+    return mk_poly([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+
+
+def comb_polygon(n=60):
+    ring = [(0.0, 0.0)]
+    for i in range(n):
+        ring += [(i + 0.25, 0.0), (i + 0.25, 5.0), (i + 0.75, 5.0), (i + 0.75, 0.0)]
+    ring += [(float(n), 0.0), (float(n), -5.0), (0.0, -5.0)]
+    return mk_poly(ring)
+
+
+def test_difference_distributed_matches_kernel(spark):
+    from pygeoops_spark.operators.difference import difference_all_tiled_distributed
+
+    geoms = [comb_polygon(40), comb_polygon(60)]
+    subs = [box(5 * k, -2, 5 * k + 2, 2) for k in range(6)]
+    sub_wkbs = [wkb_dumps(s) for s in subs]
+    df = spark.createDataFrame(
+        [(i, wkb_dumps(g)) for i, g in enumerate(geoms)], ["gid", "wkb"]
+    )
+    out = difference_all_tiled_distributed(
+        df, "gid", "wkb", sub_wkbs, subdivide_coords=60
+    )
+    rows = {r["gid"]: r["result_wkb"] for r in out.collect()}
+    assert set(rows) == {0, 1}
+    for i, g in enumerate(geoms):
+        expected = difference_all_tiled(g, subs, subdivide_coords=60)
+        got_area = polygon_area(wkb_loads(bytes(rows[i])))
+        assert got_area == pytest.approx(polygon_area(expected), rel=1e-9)
+        assert got_area < polygon_area(g)
+
+
+def test_simplify_udf_polygon(spark):
+    import numpy as np
+
+    from pygeoops_spark.operators.simplify import num_coords_col, simplify_col
+
+    # densified square: 25 points per edge
+    pts = []
+    corners = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    for (x0, y0), (x1, y1) in zip(corners, corners[1:] + corners[:1]):
+        for t in np.linspace(0, 1, 26)[:-1]:
+            pts.append((x0 + (x1 - x0) * t, y0 + (y1 - y0) * t))
+    dense = mk_poly(pts)
+    df = spark.createDataFrame([(1, wkb_dumps(dense))], ["gid", "wkb"])
+    out = df.select(
+        num_coords_col("wkb").alias("before"),
+        num_coords_col(simplify_col("wkb", 0.1, "rdp")).alias("after"),
+        num_coords_col(simplify_col("wkb", 0.5, "vw")).alias("after_vw"),
+    ).first()
+    assert out["before"] == 101
+    assert out["after"] == 5
+    assert out["after_vw"] == 5
+
+
+def test_view_angles_udf(spark):
+    from pygeoops_spark.operators.view_angles import view_angles_col
+
+    df = spark.createDataFrame(
+        [(1, wkb_dumps(box(11, 21, 12, 22))), (2, None)], ["gid", "wkb"]
+    )
+    out = df.select("gid", view_angles_col(10.0, 20.0, "wkb").alias("va")).orderBy("gid")
+    rows = out.collect()
+    a = rows[0]["va"]
+    assert a["angle_start"] == pytest.approx(26.565051177)
+    assert a["angle_end"] == pytest.approx(63.434948822)
+    s = rows[1]["va"]["angle_start"]
+    assert s is None or s != s  # null geometry -> nan/null angles
