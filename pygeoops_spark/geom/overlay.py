@@ -368,17 +368,29 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
     return _rings_to_polygons(rings, flat[0].dims)
 
 
-def line_difference(line_coords: np.ndarray, poly: Geometry) -> list[np.ndarray]:
+def line_intersection(line_coords: np.ndarray, poly: Geometry) -> list[np.ndarray]:
+    """Line clipped to polygon: split at boundary crossings, keep pieces
+    whose midpoint is inside."""
+    chains = line_difference(line_coords, poly, keep_outside=False)
+    return chains
+
+
+def line_difference(
+    line_coords: np.ndarray, poly: Geometry, keep_outside: bool = True
+) -> list[np.ndarray]:
     """Line minus polygon: split at boundary crossings, keep pieces
-    whose midpoint is outside."""
+    whose midpoint is outside (or inside when keep_outside=False)."""
     edges = [
         (line_coords[i, :2].astype(float), line_coords[i + 1, :2].astype(float))
         for i in range(len(line_coords) - 1)
     ]
     pedges = [e for p in _as_polys(poly) for e in _poly_edges(p)]
     noded = _node_edges(edges, [pedges])
+    if not noded:
+        return []
     mids = np.array([(a + b) / 2 for a, b in noded])
-    outside = ~points_in_polygon(mids[:, 0], mids[:, 1], poly)
+    inside = points_in_polygon(mids[:, 0], mids[:, 1], poly)
+    outside = ~inside if keep_outside else inside
     chains: list[list[np.ndarray]] = []
     cur: list[np.ndarray] = []
     for (a, b), keep in zip(noded, outside):
