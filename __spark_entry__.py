@@ -279,6 +279,68 @@ def _q_subdivide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rects_wkb_df(spark: SparkSession):
+    """64 elongated rectangles (w in [100,140), h in [10,20)) for the
+    centerline/buffer oracle queries, WKB built driver-side."""
+    import pandas as pdl
+
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+
+    rows = []
+    for i in range(64):
+        w = 100 + (i * 29) % 40
+        h = 10 + (i * 7) % 10
+        x0, y0 = (i % 8) * 125 - 10.0, (i // 8) * 125 - 10.0
+        wkb = wkb_dumps(
+            mk_poly([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+        )
+        rows.append((i, float(w), float(h), x0, y0, wkb))
+    return spark.createDataFrame(
+        pdl.DataFrame(rows, columns=["rect_id", "w", "h", "x0", "y0", "rect_wkb"])
+    )
+
+
+def _q_centerline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """centerline of elongated rectangles with densify_distance=0: the
+    medial axis reduces to the full-width midline — analytically
+    oracle-able (the same mechanism as the reference's box goldens,
+    tests/test_centerline.py:17-29)."""
+    from pygeoops_spark.operators.centerline import centerline_col, line_endpoints_col
+
+    rects = _rects_wkb_df(spark)
+    cl = centerline_col("rect_wkb", densify_distance=0)
+    ep = line_endpoints_col(cl)
+    return rects.select(
+        "rect_id",
+        F.round(ep["x_start"], 6).alias("x_start"),
+        F.round(ep["y_start"], 6).alias("y_start"),
+        F.round(ep["x_end"], 6).alias("x_end"),
+        F.round(ep["y_end"], 6).alias("y_end"),
+    )
+
+
+def _q_buffer_by_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buffer_by_m over M-annotated segments (rows-only: circle-approx
+    union areas aren't SQL-expressible; kernel is pytest-golden-tested).
+    """
+    import pandas as pdl
+
+    from pygeoops_spark.geom import wkb_dumps, wkt_loads
+    from pygeoops_spark.operators.centerline import buffer_by_m_col
+    from pygeoops_spark.operators.difference import area_col
+
+    rows = []
+    for i in range(64):
+        x = float((i % 8) * 100)
+        y = float((i // 8) * 100)
+        m1, m2 = 1.0 + (i % 5), 2.0 + (i % 3)
+        wkt = f"LINESTRING M ({x} {y} {m1}, {x + 20} {y} {m2}, {x + 30} {y + 10} {m1})"
+        rows.append((i, wkb_dumps(wkt_loads(wkt))))
+    df = spark.createDataFrame(pdl.DataFrame(rows, columns=["line_id", "line_wkb"]))
+    buf = buffer_by_m_col("line_wkb")
+    return df.select("line_id", F.round(area_col(buf), 6).alias("buffer_area"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.text.dedup import exact_dedup
 
@@ -404,6 +466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_lang": _q_simplify_lang,
         "difference": _q_difference,
         "subdivide": _q_subdivide,
+        "centerline": _q_centerline,
+        "buffer_by_m": _q_buffer_by_m,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "token_count": _q_token_count,
@@ -524,6 +588,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "subdivide": """
             SELECT i AS zone_id, 4 AS n_parts FROM range(64) t(i)
+        """,
+        "centerline": """
+            -- medial axis of an elongated axis-aligned rectangle is its
+            -- full-width midline (densify=0 path)
+            SELECT i AS rect_id,
+                   CAST((i % 8) * 125 - 10 AS DOUBLE) AS x_start,
+                   CAST((i // 8) * 125 - 10 AS DOUBLE) + CAST(10 + (i * 7) % 10 AS DOUBLE) / 2 AS y_start,
+                   CAST((i % 8) * 125 - 10 + 100 + (i * 29) % 40 AS DOUBLE) AS x_end,
+                   CAST((i // 8) * 125 - 10 AS DOUBLE) + CAST(10 + (i * 7) % 10 AS DOUBLE) / 2 AS y_end
+            FROM range(64) t(i)
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
