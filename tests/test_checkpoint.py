@@ -1,0 +1,72 @@
+"""Checkpoint/resume + lineage tests."""
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_checkpoint_resume(spark):
+    from pygeoops_spark.corpus.pages import synth_pages
+    from pygeoops_spark.operators.grid import assign_to_grid
+    from pygeoops_spark.run.checkpoint import lineage_report, run_checkpointed
+
+    base = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        pages = assign_to_grid(
+            synth_pages(spark, 2000), "x", "y", (0.0, 0.0, 1000.0, 1000.0), 4, 4
+        ).select("url", "text", "x", "y", "tile_id")
+
+        # first run writes everything
+        s1 = run_checkpointed(spark, pages, base, "tile_id")
+        assert s1["skipped"] == 0
+        assert s1["written"] > 0
+        assert s1["rows_out"] == 2000
+
+        # second run: everything already checkpointed
+        s2 = run_checkpointed(spark, pages, base, "tile_id")
+        assert s2["written"] == 0
+        assert s2["skipped"] == s1["written"]
+
+        # lineage rows: one per partition, counts sum to total
+        rep = lineage_report(spark, base)
+        assert rep.count() == s1["written"]
+        assert rep.agg(F.sum("rows_out")).first()[0] == 2000
+        assert rep.where(F.col("checksum").isNull()).count() == 0
+
+        # written data round-trips and text survives byte-identical
+        from pygeoops_spark.run.checkpoint import data_path
+
+        out = spark.read.parquet(data_path(base))
+        assert out.count() == 2000
+        joined = out.select("url", F.col("text").alias("t2")).join(
+            pages.select("url", "text"), "url"
+        )
+        assert joined.where(F.col("text") != F.col("t2")).count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_checkpoint_partial_resume(spark):
+    """Simulate a partial run: manifest has only half the partitions ->
+    resume writes exactly the missing ones."""
+    from pygeoops_spark.corpus.pages import synth_pages
+    from pygeoops_spark.operators.grid import assign_to_grid
+    from pygeoops_spark.run.checkpoint import run_checkpointed
+
+    base = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        pages = assign_to_grid(
+            synth_pages(spark, 1000), "x", "y", (0.0, 0.0, 1000.0, 1000.0), 2, 2
+        ).select("url", "text", "tile_id")
+        half = pages.where(F.col("tile_id") < 2)
+        s1 = run_checkpointed(spark, half, base, "tile_id")
+        assert s1["written"] >= 1
+        s2 = run_checkpointed(spark, pages, base, "tile_id")
+        assert s2["skipped"] == s1["written"]
+        assert s2["written"] >= 1
+        from pygeoops_spark.run.checkpoint import data_path
+
+        assert spark.read.parquet(data_path(base)).count() == 1000
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
