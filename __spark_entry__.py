@@ -341,6 +341,58 @@ def _q_buffer_by_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("line_id", F.round(area_col(buf), 6).alias("buffer_area"))
 
 
+def _q_simplify_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed topology-preserving simplify: 32 pairs of squares
+    where the partner has an off-boundary spike; after shared-arc
+    simplification every feature is the plain 10x10 square (the
+    reference's tests/test_simplify_topo.py:12-38 scenario, scaled).
+    Oracle: constant area/coord-count arithmetic."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.operators.difference import area_col
+    from pygeoops_spark.operators.simplify import num_coords_col
+    from pygeoops_spark.operators.simplify_topo import simplify_topo
+
+    rows = []
+    for i in range(32):
+        x0, y0 = float((i % 8) * 40), float((i // 8) * 40)
+        rows.append(
+            (2 * i, wkb_dumps(mk_poly([(x0 + 10, y0 + 10), (x0, y0 + 10), (x0, y0), (x0 + 10, y0)])))
+        )
+        rows.append(
+            (2 * i + 1, wkb_dumps(mk_poly([(x0 + 10, y0 + 10), (x0, y0 + 10), (x0, y0), (x0 + 11, y0)])))
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["fid", "wkb"]))
+    out = simplify_topo(df, "fid", "wkb", tolerance=1, algorithm="rdp")
+    return out.select(
+        "fid",
+        F.round(area_col("simplified_wkb"), 6).alias("area"),
+        num_coords_col("simplified_wkb").alias("n_coords"),
+    )
+
+
+def _q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect aggregation: order-points per 8x8 tile -> multipoint.
+    Oracle: n_parts = count, type 4 (multipoint) when >1 else 1."""
+    from pygeoops_spark.corpus.pages import order_points
+    from pygeoops_spark.operators.collection import collect_agg
+    from pygeoops_spark.operators.grid import assign_to_grid
+
+    pts = assign_to_grid(
+        order_points(spark, sf_dir), "x", "y", (0.0, 0.0, 1000.0, 1000.0), 8, 8
+    )
+
+    @F.pandas_udf("binary")
+    def point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
+        from pygeoops_spark.geom import point as mk_point, wkb_dumps
+
+        return pd.Series([wkb_dumps(mk_point(a, b)) for a, b in zip(x, y)])
+
+    pts = pts.withColumn("wkb", point_wkb("x", "y"))
+    return collect_agg(pts, ["tile_id"], "wkb").select(
+        "tile_id", "n_parts", "geom_type_id"
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.text.dedup import exact_dedup
 
@@ -468,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subdivide": _q_subdivide,
         "centerline": _q_centerline,
         "buffer_by_m": _q_buffer_by_m,
+        "simplify_topo": _q_simplify_topo,
+        "collect": _q_collect,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "token_count": _q_token_count,
@@ -598,6 +652,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST((i % 8) * 125 - 10 + 100 + (i * 29) % 40 AS DOUBLE) AS x_end,
                    CAST((i // 8) * 125 - 10 AS DOUBLE) + CAST(10 + (i * 7) % 10 AS DOUBLE) / 2 AS y_end
             FROM range(64) t(i)
+        """,
+        "simplify_topo": """
+            SELECT i AS fid, CAST(100 AS DOUBLE) AS area, 5 AS n_coords
+            FROM range(64) t(i)
+        """,
+        "collect": f"""
+            WITH {ORDER_PTS_CTE.strip()},
+            g AS (
+              SELECT CAST(least(floor(x / 125.0), 7) * 8 + least(floor(y / 125.0), 7) AS BIGINT) AS tile_id,
+                     count(*) AS cnt
+              FROM pts GROUP BY 1
+            )
+            SELECT tile_id,
+                   CAST(cnt AS INT) AS n_parts,
+                   CAST(CASE WHEN cnt > 1 THEN 4 ELSE 1 END AS INT) AS geom_type_id
+            FROM g
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count

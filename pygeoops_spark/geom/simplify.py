@@ -137,7 +137,7 @@ def vw_idx(coords: np.ndarray, area_tolerance: float) -> np.ndarray:
         a, i, ver = heapq.heappop(heap)
         if not alive[i] or ver != version[i]:
             continue
-        if a >= area_tolerance:
+        if a > area_tolerance:  # removal happens at a <= tolerance
             break
         alive[i] = False
         p, q = prev[i], nxt[i]

@@ -1,74 +1,22 @@
 """simplify as a Spark operator (lang / lang+ / rdp / vw).
 
-Scalar Arrow-batched pandas UDF over WKB. Ring-wise semantics follow
-the reference dispatch (/root/reference/pygeoops/_simplify.py:142-219):
-points pass through, lines/polygon rings simplify per ring, degenerate
-rings (<3 distinct pts after simplify) keep the original ring when
-preserve_topology else drop; multiparts recurse. `keep_points_on` and
-the topology-preserving cross-feature variant land in a later wave.
+Scalar Arrow-batched pandas UDF over WKB; the geometry-level dispatch
+lives in geom/simplify_geom.py (reference semantics
+/root/reference/pygeoops/_simplify.py:29-219 incl. keep_points_on and
+preserve_topology). The cross-feature topology-preserving variant is
+operators/simplify_topo.py (a genuinely distributed pipeline).
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, IntegerType
 
-from pygeoops_spark.geom.simplify import simplify_coords_idx
-from pygeoops_spark.geom.wkb import (
-    Geometry,
-    LINESTRING,
-    POINT,
-    POLYGON,
-    wkb_dumps,
-    wkb_loads,
-)
-
-
-def _simplify_geom(
-    geom: Geometry, tolerance: float, algorithm: str, lookahead: int, preserve_topology: bool
-) -> Geometry | None:
-    t = geom.type_id
-    if t == POINT or (t == 4):  # (multi)point pass-through
-        return geom
-    if t == LINESTRING:
-        arr = np.asarray(geom.data)
-        keep = simplify_coords_idx(arr[:, :2], tolerance, algorithm, lookahead)
-        out = arr[keep]
-        if len(out) < 2:
-            return geom if preserve_topology else None
-        return Geometry(LINESTRING, out, geom.dims)
-    if t == POLYGON:
-        rings = []
-        for i, ring in enumerate(geom.data):
-            arr = np.asarray(ring)
-            keep = simplify_coords_idx(arr[:, :2], tolerance, algorithm, lookahead)
-            out = arr[keep]
-            if len(out) < 4:  # degenerate ring (needs 3 distinct + close)
-                if preserve_topology:
-                    out = arr
-                elif i == 0:
-                    return None
-                else:
-                    continue
-            if not np.array_equal(out[0], out[-1]):
-                out = np.vstack([out, out[:1]])
-            rings.append(out)
-        if not rings:
-            return None
-        return Geometry(POLYGON, rings, geom.dims)
-    # multiparts / collections: recurse, drop vanished parts
-    parts = []
-    for p in geom.data:
-        sp = _simplify_geom(p, tolerance, algorithm, lookahead, preserve_topology)
-        if sp is not None and not sp.is_empty:
-            parts.append(sp)
-    if not parts:
-        return None
-    return Geometry(t, parts, geom.dims)
+from pygeoops_spark.geom.simplify_geom import simplify_geometry
+from pygeoops_spark.geom.wkb import wkb_dumps, wkb_loads
 
 
 def simplify_col(
@@ -77,18 +25,28 @@ def simplify_col(
     algorithm: str = "rdp",
     lookahead: int = 8,
     preserve_topology: bool = True,
+    keep_points_on_wkb: bytes | None = None,
 ) -> Column:
+    """Simplify each row's WKB geometry. `keep_points_on_wkb` is a
+    broadcast constant geometry whose points are never removed."""
     wkb_col = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
+    kpo_bytes = keep_points_on_wkb
 
     @F.pandas_udf(BinaryType())
     def _ud(wkbs: pd.Series) -> pd.Series:
+        kpo = wkb_loads(kpo_bytes) if kpo_bytes is not None else None
         out = []
         for b in wkbs:
             if b is None:
                 out.append(None)
                 continue
-            g = _simplify_geom(
-                wkb_loads(bytes(b)), tolerance, algorithm, lookahead, preserve_topology
+            g = simplify_geometry(
+                wkb_loads(bytes(b)),
+                tolerance,
+                algorithm,
+                lookahead,
+                preserve_topology,
+                kpo,
             )
             out.append(wkb_dumps(g) if g is not None else None)
         return pd.Series(out)

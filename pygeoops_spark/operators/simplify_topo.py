@@ -1,0 +1,340 @@
+"""Topology-preserving cross-feature simplify (simplify_topo).
+
+Reference behavior (/root/reference/pygeoops/_simplify_topo.py:21-162,
+studied not copied): build a topology over ALL features, detect shared
+arcs, simplify each arc ONCE, write back — so features sharing a
+boundary stay edge-matched after simplification (tests pin that a
+vertex of one feature lying on another's edge becomes a junction:
+tests/test_simplify_topo.py:12-38).
+
+Distributed pipeline (the only reference operator that is inherently
+multi-row — a genuine shuffle DAG, not a scalar UDF):
+
+ 1. explode features into directed ring segments           (narrow)
+ 2. node: join other features' vertices into segments by
+    cell id; split segments at interior on-segment points  (shuffle 1)
+ 3. canonical segment key -> neighbor set per segment      (shuffle 2)
+ 4. per-feature arc assembly (chains of segments with the
+    same neighbor signature)                               (groupBy fid)
+ 5. distinct-arc simplification, once per arc              (shuffle 3 —
+    the distributed common-subexpression elimination)
+ 6. join simplified arcs back, rebuild rings per feature   (shuffle 4)
+
+All shuffles key on compact hashes; geometry bytes move only in the
+per-feature groupBys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pygeoops_spark.geom.simplify import simplify_coords_idx
+from pygeoops_spark.geom.wkb import (
+    Geometry,
+    MULTIPOLYGON,
+    POLYGON,
+    get_parts,
+    multi,
+    wkb_dumps,
+    wkb_loads,
+)
+
+_SNAP = 1e-9
+
+
+def _k(v: float) -> int:
+    return round(v / _SNAP)
+
+
+def _seg_key(ax, ay, bx, by) -> str:
+    a, b = (_k(ax), _k(ay)), (_k(bx), _k(by))
+    lo, hi = (a, b) if a <= b else (b, a)
+    return f"{lo[0]}:{lo[1]}|{hi[0]}:{hi[1]}"
+
+
+def _arc_key(coords: np.ndarray) -> str:
+    fwd = [(_k(x), _k(y)) for x, y in coords]
+    rev = fwd[::-1]
+    canon = fwd if fwd <= rev else rev
+    h = hashlib.sha1(repr(canon).encode()).hexdigest()[:16]
+    return h
+
+
+_SEG_SCHEMA = StructType(
+    [
+        StructField("fid", LongType()),
+        StructField("ring", IntegerType()),
+        StructField("seq", IntegerType()),
+        StructField("ax", DoubleType()),
+        StructField("ay", DoubleType()),
+        StructField("bx", DoubleType()),
+        StructField("by", DoubleType()),
+    ]
+)
+
+
+def _explode_segments(df: DataFrame, id_col: str, wkb_col: str) -> DataFrame:
+    def run(pdf: pd.DataFrame):
+        rows = []
+        for fid, b in zip(pdf[id_col], pdf[wkb_col]):
+            if b is None:
+                continue
+            g = wkb_loads(bytes(b))
+            ring_no = 0
+            for part in get_parts(g):
+                if part.type_id != POLYGON:
+                    continue
+                for ring in part.data:
+                    arr = np.asarray(ring, dtype=float)
+                    for i in range(len(arr) - 1):
+                        rows.append(
+                            (
+                                int(fid),
+                                ring_no,
+                                i,
+                                arr[i, 0],
+                                arr[i, 1],
+                                arr[i + 1, 0],
+                                arr[i + 1, 1],
+                            )
+                        )
+                    ring_no += 1
+        return pd.DataFrame(
+            rows, columns=["fid", "ring", "seq", "ax", "ay", "bx", "by"]
+        )
+
+    return df.select(id_col, wkb_col).mapInPandas(
+        lambda it: (run(pdf) for pdf in it), _SEG_SCHEMA
+    )
+
+
+def simplify_topo(
+    df: DataFrame,
+    id_col: str,
+    wkb_col: str,
+    tolerance: float,
+    algorithm: str = "rdp",
+    lookahead: int = 8,
+    cell_level: int = 6,
+) -> DataFrame:
+    """Returns (id_col, simplified_wkb). Features must be (multi)polygons."""
+    from pygeoops_spark.join.cells import cell_id
+
+    segs = _explode_segments(df, id_col, wkb_col).cache()
+
+    # --- 2. noding: other features' vertices that lie ON a segment ----
+    verts = (
+        segs.select(F.col("fid").alias("vfid"), F.col("ax").alias("vx"), F.col("ay").alias("vy"))
+        .distinct()
+        .withColumn("_cell", cell_id("vx", "vy", cell_level))
+    )
+    # segments replicated over the cells their bbox covers
+    from pygeoops_spark.join.cells import cover_cells_bbox
+
+    seg_cells = segs.withColumn(
+        "_cell",
+        F.explode(
+            cover_cells_bbox(
+                F.least("ax", "bx"), F.least("ay", "by"), F.greatest("ax", "bx"), F.greatest("ay", "by"), cell_level
+            )
+        ),
+    )
+    joined = seg_cells.join(verts, "_cell").where(F.col("vfid") != F.col("fid"))
+    # strict interior, collinear within snap tolerance
+    dxe, dye = F.col("bx") - F.col("ax"), F.col("by") - F.col("ay")
+    dxv, dyv = F.col("vx") - F.col("ax"), F.col("vy") - F.col("ay")
+    seg_len2 = dxe * dxe + dye * dye
+    cross = dxe * dyv - dye * dxv
+    t = (dxv * dxe + dyv * dye) / seg_len2
+    splits = (
+        joined.where(seg_len2 > 0)
+        .where((F.abs(cross) / F.sqrt(seg_len2)) < 1e-9)
+        .where((t > 1e-12) & (t < 1 - 1e-12))
+        .select("fid", "ring", "seq", t.alias("t"), "vx", "vy")
+        .distinct()
+    )
+    split_map = splits.groupBy("fid", "ring", "seq").agg(
+        F.sort_array(F.collect_list(F.struct("t", "vx", "vy"))).alias("pts")
+    )
+    noded = (
+        segs.join(split_map, ["fid", "ring", "seq"], "left")
+        .withColumn(
+            "chain",
+            F.concat(
+                F.array(F.struct(F.lit(-1.0).alias("t"), F.col("ax").alias("vx"), F.col("ay").alias("vy"))),
+                F.coalesce("pts", F.array()),
+                F.array(F.struct(F.lit(2.0).alias("t"), F.col("bx").alias("vx"), F.col("by").alias("vy"))),
+            ),
+        )
+        .select(
+            "fid",
+            "ring",
+            "seq",
+            F.posexplode(
+                F.expr(
+                    "transform(slice(chain, 1, size(chain)-1), (c, i) -> "
+                    "struct(c.vx as ax, c.vy as ay, chain[i+1].vx as bx, chain[i+1].vy as by))"
+                )
+            ).alias("sub", "s"),
+        )
+        .select(
+            "fid",
+            "ring",
+            "seq",
+            "sub",
+            F.col("s.ax").alias("ax"),
+            F.col("s.ay").alias("ay"),
+            F.col("s.bx").alias("bx"),
+            F.col("s.by").alias("by"),
+        )
+    )
+
+    # --- 3. shared-segment signature (pure SQL key, no Python) --------
+    def snap_str(x: str, y: str):
+        return F.concat_ws(
+            ":",
+            F.round(F.col(x) / F.lit(_SNAP)).cast("long"),
+            F.round(F.col(y) / F.lit(_SNAP)).cast("long"),
+        )
+
+    a_s, b_s = snap_str("ax", "ay"), snap_str("bx", "by")
+    noded = noded.withColumn(
+        "skey", F.concat(F.least(a_s, b_s), F.lit("|"), F.greatest(a_s, b_s))
+    )
+    sig = noded.groupBy("skey").agg(
+        F.sort_array(F.collect_set("fid")).alias("fids")
+    )
+    noded = noded.join(sig, "skey")
+
+    # --- 4. per-feature arc assembly ---------------------------------
+    arc_schema = StructType(
+        [
+            StructField("fid", LongType()),
+            StructField("ring", IntegerType()),
+            StructField("arc_pos", IntegerType()),
+            StructField("arc_id", StringType()),
+            StructField("reversed", IntegerType()),
+            StructField("coords", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def build_arcs(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (fid, ring), grp in pdf.groupby(["fid", "ring"]):
+            grp = grp.sort_values(["seq", "sub"])
+            segs_l = grp[["ax", "ay", "bx", "by"]].to_numpy()
+            sigs = [tuple(s) for s in grp["fids"]]
+            n = len(segs_l)
+            if n == 0:
+                continue
+            # rotate so the ring starts at a signature change (if any)
+            start = 0
+            for i in range(n):
+                if sigs[i] != sigs[i - 1]:
+                    start = i
+                    break
+            order = list(range(start, n)) + list(range(0, start))
+            # group consecutive equal signatures into arcs
+            arcs: list[list[int]] = []
+            for idx in order:
+                if arcs and sigs[idx] == sigs[arcs[-1][-1]]:
+                    arcs[-1].append(idx)
+                else:
+                    arcs.append([idx])
+            for pos, arc in enumerate(arcs):
+                coords = [segs_l[arc[0]][:2].tolist()] + [
+                    segs_l[i][2:].tolist() for i in arc
+                ]
+                carr = np.array(coords)
+                fwd = [(_k(x), _k(y)) for x, y in carr]
+                rev = fwd[::-1]
+                reversed_flag = 0 if fwd <= rev else 1
+                canon = carr if reversed_flag == 0 else carr[::-1]
+                out.append(
+                    (
+                        int(fid),
+                        int(ring),
+                        pos,
+                        _arc_key(carr),
+                        reversed_flag,
+                        canon.tolist(),
+                    )
+                )
+        return pd.DataFrame(
+            out, columns=["fid", "ring", "arc_pos", "arc_id", "reversed", "coords"]
+        )
+
+    arcs = noded.groupBy("fid", "ring").applyInPandas(build_arcs, arc_schema).cache()
+
+    # --- 5. simplify each distinct arc once --------------------------
+    simp_schema = StructType(
+        [
+            StructField("arc_id", StringType()),
+            StructField("scoords", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    def simplify_arcs(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for arc_id, grp in pdf.groupby("arc_id"):
+            coords = np.array([list(c) for c in grp["coords"].iloc[0]], dtype=float)
+            keep = simplify_coords_idx(coords, tolerance, algorithm, lookahead)
+            rows.append((arc_id, coords[keep].tolist()))
+        return pd.DataFrame(rows, columns=["arc_id", "scoords"])
+
+    distinct_arcs = arcs.select("arc_id", "coords").dropDuplicates(["arc_id"])
+    simplified = distinct_arcs.groupBy("arc_id").applyInPandas(
+        simplify_arcs, simp_schema
+    )
+
+    # --- 6. rebuild rings/features -----------------------------------
+    joined_arcs = arcs.join(simplified, "arc_id")
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("simplified_wkb", BinaryType()),
+        ]
+    )
+
+    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(pdf["fid"].iloc[0])
+        rings_out = []
+        for ring, grp in pdf.groupby("ring"):
+            grp = grp.sort_values("arc_pos")
+            pts: list[list[float]] = []
+            for _, row in grp.iterrows():
+                c = np.array([list(p) for p in row["scoords"]], dtype=float)
+                if row["reversed"]:
+                    c = c[::-1]
+                if pts:
+                    c = c[1:]
+                pts.extend(c.tolist())
+            arr = np.array(pts)
+            if len(arr) and not np.array_equal(arr[0], arr[-1]):
+                arr = np.vstack([arr, arr[:1]])
+            if len(arr) >= 4:
+                rings_out.append(arr)
+        if not rings_out:
+            return pd.DataFrame({id_col: [fid], "simplified_wkb": [None]})
+        # first ring = shell, rest holes (single-polygon scope; multi-
+        # polygon features keep their ring order from explode)
+        g = Geometry(POLYGON, rings_out) if len(rings_out) >= 1 else None
+        return pd.DataFrame({id_col: [fid], "simplified_wkb": [wkb_dumps(g)]})
+
+    return joined_arcs.groupBy("fid").applyInPandas(rebuild, out_schema)

@@ -1,0 +1,54 @@
+"""Distributed simplify_topo tests — reference
+tests/test_simplify_topo.py semantics on the Spark pipeline."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps, wkb_loads
+from pygeoops_spark.geom.kernels import polygon_area
+
+
+POLY1 = [(10, 10), (0, 10), (0, 0), (10, 0)]
+POLY2 = [(10, 10), (0, 10), (0, 0), (11, 0)]
+
+
+def _run(spark, polys, tolerance=1, algorithm="rdp"):
+    from pygeoops_spark.operators.simplify_topo import simplify_topo
+
+    df = spark.createDataFrame(
+        [(i, wkb_dumps(mk_poly(p))) for i, p in enumerate(polys)], ["fid", "wkb"]
+    )
+    out = simplify_topo(df, "fid", "wkb", tolerance, algorithm)
+    rows = {r["fid"]: wkb_loads(bytes(r["simplified_wkb"])) for r in out.collect()}
+    return rows
+
+
+@pytest.mark.parametrize("algorithm,tolerance", [("rdp", 1), ("lang", 1), ("lang+", 1), ("vw", 5)])
+def test_simplify_topo_shared_boundary(spark, algorithm, tolerance):
+    # reference :12-38 — poly1 unchanged; poly2's (11,0) spike removed
+    # after the shared-boundary junction (10,0) is inserted -> equal
+    rows = _run(spark, [POLY1, POLY2], tolerance, algorithm)
+    assert len(rows) == 2
+    a0 = polygon_area(rows[0])
+    a1 = polygon_area(rows[1])
+    assert a0 == pytest.approx(100.0)
+    assert a1 == pytest.approx(100.0)
+    c0 = {tuple(c) for c in np.asarray(rows[0].data[0])}
+    c1 = {tuple(c) for c in np.asarray(rows[1].data[0])}
+    assert c0 == c1 == {(10, 10), (0, 10), (0, 0), (10, 0)}
+
+
+def test_simplify_topo_adjacent_squares_unchanged(spark):
+    # reference :66-92 — 3 adjacent unit squares survive unchanged
+    squares = [
+        [(0, 0), (10, 0), (10, 10), (0, 10)],
+        [(10, 0), (20, 0), (20, 10), (10, 10)],
+        [(20, 0), (30, 0), (30, 10), (20, 10)],
+    ]
+    rows = _run(spark, squares, tolerance=1, algorithm="lang")
+    assert len(rows) == 3
+    for i, sq in enumerate(squares):
+        assert polygon_area(rows[i]) == pytest.approx(100.0)
+        got = {tuple(c) for c in np.asarray(rows[i].data[0])}
+        assert got == {tuple(map(float, c)) for c in sq}
