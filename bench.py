@@ -47,6 +47,36 @@ BENCH_QUERIES = [
 ]
 
 
+def _run_centerline(spark, n_polys: int) -> int:
+    """Centerline over synthetic elongated rectangles — the UDF-bound
+    (Python-kernel) scaling workload."""
+    import pandas as pdm
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from pygeoops_spark.operators.centerline import centerline_col
+
+    df = spark.range(n_polys)
+
+    @F.pandas_udf(BinaryType())
+    def rect_wkb(ids: pdm.Series) -> pdm.Series:
+        from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+
+        out = []
+        for i in ids:
+            w = 100 + (int(i) * 29) % 40
+            h = 10 + (int(i) * 7) % 10
+            x0, y0 = (int(i) % 64) * 150.0, (int(i) // 64 % 64) * 150.0
+            out.append(
+                wkb_dumps(mk_poly([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]))
+            )
+        return pdm.Series(out)
+
+    out = df.select(centerline_col(rect_wkb("id")).alias("cl"))
+    out.where(F.col("cl").isNotNull()).count()
+    return n_polys
+
+
 def _run_flagship(spark, n_pages: int) -> int:
     """Flagship spatial pipeline: synth pages -> PIP join -> tile rollup.
     Returns number of input docs processed (for docs/sec)."""
@@ -61,6 +91,12 @@ def _run_flagship(spark, n_pages: int) -> int:
     tiled = assign_to_grid(joined, "x", "y", (0.0, 0.0, 1000.0, 1000.0), 8, 8)
     tiled.groupBy("zone_id", "tile_id").agg(F.count("*").alias("n")).count()
     return n_pages
+
+
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 def _mk_spark(cpus: int):
@@ -112,21 +148,35 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "0") == "1":
-        scaling = {}
+        # N -> 4N evidence: identical jobs at local[8] and local[32].
+        # Inputs are sized so compute dominates fixed overheads, each
+        # session warms up first, and the best of 2 runs is taken.
+        n_pages_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "16000000"))
+        n_cl_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CENTERLINES", "60000"))
+        scaling: dict = {}
         for cpus in (8, 32):
             s = _mk_spark(cpus)
-            s.range(1000).selectExpr("sum(id)").collect()
-            t0 = time.time()
-            n = _run_flagship(s, PAGES_N)
-            dt = time.time() - t0
+            _run_flagship(s, 100_000)  # warm up JVM + Python workers
+            _run_centerline(s, 2_000)
+            best_f = min(
+                _timed(lambda: _run_flagship(s, n_pages_scaling)) for _ in range(2)
+            )
+            best_c = min(
+                _timed(lambda: _run_centerline(s, n_cl_scaling)) for _ in range(2)
+            )
             scaling[f"local[{cpus}]"] = {
-                "sec": round(dt, 3),
-                "docs_per_sec": round(n / dt, 1),
+                "flagship_sec": round(best_f, 3),
+                "flagship_docs_per_sec": round(n_pages_scaling / best_f, 1),
+                "centerline_sec": round(best_c, 3),
+                "centerline_ops_per_sec": round(n_cl_scaling / best_c, 1),
             }
             s.stop()
-        speedup = scaling["local[8]"]["sec"] / scaling["local[32]"]["sec"]
-        scaling["speedup_8_to_32"] = round(speedup, 3)
-        scaling["efficiency"] = round(speedup / 4.0, 3)
+        for wl in ("flagship", "centerline"):
+            speedup = (
+                scaling["local[8]"][f"{wl}_sec"] / scaling["local[32]"][f"{wl}_sec"]
+            )
+            scaling[f"{wl}_speedup_8_to_32"] = round(speedup, 3)
+            scaling[f"{wl}_efficiency"] = round(speedup / 4.0, 3)
         out["scaling"] = scaling
 
     print(json.dumps(out))

@@ -49,18 +49,56 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k; excludes self-matches (same id).
 
+    Scale shape: the query set is collected once (it is the small side
+    by definition) and closed over as a normalized numpy matrix; the
+    big target table streams through mapInPandas where one
+    (batch x dim) @ (dim x nq) matmul scores every pair — no
+    crossJoin row explosion, no shuffle of the targets. Each batch
+    emits only its local top-k per query; a window reduces to the
+    global top-k (guaranteed exact because global top-k is a subset of
+    per-batch top-k unions).
+
     Output: query_id, neighbor_id, cos_sim (rounded 1e-6), ann_rank.
     """
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    t = F.broadcast(targets.select(F.col(t_id).alias("neighbor_id"), F.col(t_vec).alias("_tv")))
-    cand = q.crossJoin(t).where(F.col("query_id") != F.col("neighbor_id"))
-    sim = _dot(F.col("_qv"), F.col("_tv")) / (_norm(F.col("_qv")) * _norm(F.col("_tv")))
+    qpd = queries.select(F.col(q_id).alias("qid"), F.col(q_vec).alias("qv")).toPandas()
+    q_ids = qpd["qid"].to_numpy()
+    qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    id_dtype = targets.schema[t_id].dataType.simpleString()
+    schema = f"query_id {id_dtype}, neighbor_id {id_dtype}, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tmat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[t_vec]])
+            tnorm = np.linalg.norm(tmat, axis=1)
+            tnorm[tnorm == 0] = 1.0
+            sims = (tmat @ qmat.T) / tnorm[:, None] / qnorm[None, :]
+            t_ids = pdf[t_id].to_numpy()
+            rows = {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            for j in range(len(q_ids)):
+                col = sims[:, j]
+                mask = t_ids != q_ids[j]
+                idx = np.nonzero(mask)[0]
+                if len(idx) == 0:
+                    continue
+                # order by (-sim, id) so batch-local pruning agrees with
+                # the global tie-break
+                order = idx[np.lexsort((t_ids[idx], -col[idx]))][:k]
+                rows["query_id"].extend([q_ids[j]] * len(order))
+                rows["neighbor_id"].extend(t_ids[order])
+                rows["cos_sim"].extend(col[order])
+            yield pd.DataFrame(rows)
+
+    cand = targets.select(t_id, t_vec).mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        cand.withColumn("cos_sim", F.round(sim, 6))
-        .withColumn("ann_rank", F.row_number().over(w))
+        cand.withColumn("ann_rank", F.row_number().over(w))
         .where(F.col("ann_rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "ann_rank")
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "ann_rank")
     )
 
 

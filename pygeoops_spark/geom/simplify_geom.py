@@ -110,7 +110,15 @@ def simplify_geometry(
             rings.append(out)
         if not rings:
             return None
-        return Geometry(POLYGON, rings, geom.dims)
+        # simplification can make a shell self-touch/cross -> repair
+        # (reference runs shapely.make_valid on every polygon result,
+        # _simplify.py:275-283)
+        from pygeoops_spark.geom.validity import make_valid
+
+        result = make_valid(Geometry(POLYGON, rings, geom.dims))
+        if result is None and preserve_topology:
+            return geom
+        return result
     parts = []
     for p in get_parts(geom):
         sp = simplify_geometry(

@@ -1,0 +1,61 @@
+"""make_valid tests — reference tests/test_simplify.py:181-251 M-shape
+scenarios (self-touch -> 2 parts, self-cross -> 3 parts)."""
+
+import pytest
+
+from pygeoops_spark.geom import polygon, wkt_loads
+from pygeoops_spark.geom.kernels import polygon_area
+from pygeoops_spark.geom.simplify_geom import simplify
+from pygeoops_spark.geom.validity import make_valid, polygon_is_simple
+from pygeoops_spark.geom.wkb import MULTIPOLYGON, POLYGON
+
+
+def test_make_valid_passthrough():
+    p = polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    out = make_valid(p)
+    assert out.type_id == POLYGON
+    assert polygon_area(out) == 100.0
+    assert polygon_is_simple(p)
+
+
+def test_simplify_invalid_exterior():
+    # reference :182-193 — self-crossing spike; after lang tol 1 the
+    # result is a MultiPolygon whose dominant part keeps the hole and
+    # has 7 exterior coords
+    poly = polygon(
+        [(0, 0), (0, 10), (5, 10), (3, 12), (3, 9), (10, 10), (10, 0)],
+        [[(2, 2), (2, 8), (8, 8), (8, 2)]],
+    )
+    out = simplify(poly, 1, algorithm="lang")
+    assert out is not None
+    assert out.type_id == MULTIPOLYGON
+    assert len(out.data[0].data[0]) == 7
+    assert len(out.data[0].data) == 2  # hole stays with the big part
+
+
+def test_simplify_m_touch():
+    # reference :196-222 — M shape whose ring touches itself after
+    # simplification -> valid MultiPolygon of 2 parts
+    poly = polygon(
+        [(0, 0), (0, 10), (5, 5), (10, 10), (10, 0), (8, 0), (8, 5), (5, 4), (2, 5), (2, 0)]
+    )
+    out = simplify(poly, 1, algorithm="lang")
+    assert out is not None
+    assert out.type_id == MULTIPOLYGON
+    assert len(out.data) == 2
+    from pygeoops_spark.geom.wkb import get_coordinates
+
+    # reference compares against its 13-coord invalid-exterior fixture
+    # (tests/test_simplify.py:221) — the split parts total 12 coords
+    assert len(get_coordinates(out)) < 13
+
+
+def test_simplify_m_cross():
+    # reference :226-251 — ring crosses itself -> 3 parts
+    poly = polygon(
+        [(0, 0), (0, 10), (5, 5), (10, 10), (10, 0), (8, 0), (8, 5.5), (5, 4.5), (2, 5.5), (2, 0)]
+    )
+    out = simplify(poly, 1, algorithm="lang")
+    assert out is not None
+    assert out.type_id == MULTIPOLYGON
+    assert len(out.data) == 3
