@@ -393,6 +393,89 @@ def _q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extend_line_to_geometry: the middle third of each zone's midline
+    extends to the zone boundary -> endpoints (xmin, ymid), (xmax, ymid).
+    Oracle: pure arithmetic."""
+    from pygeoops_spark.geom import linestring as mk_line, polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.geom.extend_line import extend_line_to_geometry
+    from pygeoops_spark.geom.wkb import wkb_loads
+    from pygeoops_spark.corpus.pages import synth_zones
+    from pygeoops_spark.operators.centerline import line_endpoints_col
+    from pyspark.sql.types import BinaryType
+
+    zones = synth_zones(spark)
+
+    @F.pandas_udf(BinaryType())
+    def ext_ud(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        out = []
+        for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax):
+            ymid = (y0 + y1) / 2
+            w = x1 - x0
+            line = mk_line([(x0 + w / 4, ymid), (x0 + w / 2, ymid)])
+            rect = mk_poly([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+            out.append(wkb_dumps(extend_line_to_geometry(line, rect)))
+        return pd.Series(out)
+
+    res = zones.withColumn("_ext", ext_ud("xmin", "ymin", "xmax", "ymax"))
+    ep = line_endpoints_col("_ext")
+    return res.select(
+        "zone_id",
+        F.round(ep["x_start"], 6).alias("x_start"),
+        F.round(ep["y_start"], 6).alias("y_start"),
+        F.round(ep["x_end"], 6).alias("x_end"),
+        F.round(ep["y_end"], 6).alias("y_end"),
+    )
+
+
+def _q_remove_inner_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_inner_rings thresholds over 2-hole zone polygons (holes
+    20x20=400 each): min_area 500 drops both, 100 keeps both."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.geom.general import remove_inner_rings
+    from pygeoops_spark.corpus.pages import synth_zones
+    from pygeoops_spark.operators.difference import area_col
+    from pyspark.sql.types import BinaryType
+
+    zones = synth_zones(spark)
+
+    def _mk(x0, y0, x1, y1):
+        return mk_poly(
+            [(x0, y0), (x1, y0), (x1, y1), (x0, y1)],
+            [
+                [(x0 + 10, y0 + 10), (x0 + 30, y0 + 10), (x0 + 30, y0 + 30), (x0 + 10, y0 + 30)],
+                [(x1 - 30, y1 - 30), (x1 - 10, y1 - 30), (x1 - 10, y1 - 10), (x1 - 30, y1 - 10)],
+            ],
+        )
+
+    @F.pandas_udf(BinaryType())
+    def drop_all(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                wkb_dumps(remove_inner_rings(_mk(a, b, c, d), 500))
+                for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+            ]
+        )
+
+    @F.pandas_udf(BinaryType())
+    def keep_all(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                wkb_dumps(remove_inner_rings(_mk(a, b, c, d), 100))
+                for a, b, c, d in zip(xmin, ymin, xmax, ymax)
+            ]
+        )
+
+    res = zones.withColumn("_d", drop_all("xmin", "ymin", "xmax", "ymax")).withColumn(
+        "_k", keep_all("xmin", "ymin", "xmax", "ymax")
+    )
+    return res.select(
+        "zone_id",
+        F.round(area_col("_d"), 6).alias("area_dropped"),
+        F.round(area_col("_k"), 6).alias("area_kept"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.text.dedup import exact_dedup
 
@@ -522,6 +605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_by_m": _q_buffer_by_m,
         "simplify_topo": _q_simplify_topo,
         "collect": _q_collect,
+        "extend_line": _q_extend_line,
+        "remove_inner_rings": _q_remove_inner_rings,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "token_count": _q_token_count,
@@ -668,6 +753,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cnt AS INT) AS n_parts,
                    CAST(CASE WHEN cnt > 1 THEN 4 ELSE 1 END AS INT) AS geom_type_id
             FROM g
+        """,
+        "extend_line": f"""
+            WITH {ZONES_CTE.strip()}
+            SELECT zone_id,
+                   xmin AS x_start,
+                   (ymin + ymax) / 2 AS y_start,
+                   xmax AS x_end,
+                   (ymin + ymax) / 2 AS y_end
+            FROM zones
+        """,
+        "remove_inner_rings": f"""
+            WITH {ZONES_CTE.strip()}
+            SELECT zone_id,
+                   round((xmax - xmin) * (ymax - ymin), 6) AS area_dropped,
+                   round((xmax - xmin) * (ymax - ymin) - CAST(800 AS DOUBLE), 6) AS area_kept
+            FROM zones
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count

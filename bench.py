@@ -20,6 +20,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,7 +52,6 @@ BENCH_QUERIES = [
 def _run_centerline(spark, n_polys: int) -> int:
     """Centerline over synthetic elongated rectangles — the UDF-bound
     (Python-kernel) scaling workload."""
-    import pandas as pdm
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType
 
@@ -59,7 +60,7 @@ def _run_centerline(spark, n_polys: int) -> int:
     df = spark.range(n_polys)
 
     @F.pandas_udf(BinaryType())
-    def rect_wkb(ids: pdm.Series) -> pdm.Series:
+    def rect_wkb(ids: pd.Series) -> pd.Series:
         from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
 
         out = []
@@ -70,7 +71,7 @@ def _run_centerline(spark, n_polys: int) -> int:
             out.append(
                 wkb_dumps(mk_poly([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]))
             )
-        return pdm.Series(out)
+        return pd.Series(out)
 
     out = df.select(centerline_col(rect_wkb("id")).alias("cl"))
     out.where(F.col("cl").isNotNull()).count()

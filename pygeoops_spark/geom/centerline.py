@@ -25,6 +25,7 @@ from pygeoops_spark.geom.kernels import (
     polygon_area,
     ring_signed_area,
     segment_intersects_coords,
+    segments_cross_chain_batch,
 )
 from pygeoops_spark.geom.linemerge import _key, line_merge, normalize_lines
 from pygeoops_spark.geom.simplify import rdp_idx
@@ -181,13 +182,20 @@ def centerline(
     sites = np.unique(np.round(sites, 12), axis=0)
     vedges = voronoi_edges(sites)
 
-    # 4. keep edges contained in the polygon
+    # 4. keep edges contained in the polygon (vectorized across all
+    # edges at once: chain-crossing batch + PIP of 3 samples per edge)
     boundary_rings = [np.asarray(r) for r in rings]
-    kept = [
-        np.array([a, b])
-        for a, b in vedges
-        if _edge_contained(a, b, geom, boundary_rings)
-    ]
+    edges_arr = np.array(vedges)  # (E, 2, 2)
+    crosses = np.zeros(len(edges_arr), dtype=bool)
+    for ring in boundary_rings:
+        crosses |= segments_cross_chain_batch(edges_arr, ring[:, :2])
+    samples = np.concatenate(
+        [edges_arr[:, 0, :], (edges_arr[:, 0, :] + edges_arr[:, 1, :]) / 2, edges_arr[:, 1, :]]
+    )
+    inside = points_in_polygon(samples[:, 0], samples[:, 1], geom)
+    e = len(edges_arr)
+    all_inside = inside[:e] & inside[e : 2 * e] & inside[2 * e :]
+    kept = [np.array([a, b]) for (a, b), ok in zip(vedges, ~crosses & all_inside) if ok]
     if not kept:
         # no edge fully inside: clip all voronoi edges to the polygon
         # (reference fallback: intersection(geom, voronoi_edges) + merge)

@@ -212,6 +212,47 @@ def segment_intersects_coords(seg_a, seg_b, coords: np.ndarray) -> bool:
     return False
 
 
+def segments_cross_chain_batch(edges: np.ndarray, chain: np.ndarray) -> np.ndarray:
+    """(E,) bool: does each edge (edges[(E,2,2)]) intersect any segment
+    of the coordinate chain? Fully vectorized (E x S broadcast),
+    inclusive of touching/collinear contact."""
+    E = len(edges)
+    if E == 0 or len(chain) < 2:
+        return np.zeros(E, dtype=bool)
+    p1 = edges[:, 0, :][:, None, :]  # (E,1,2)
+    p2 = edges[:, 1, :][:, None, :]
+    q1 = chain[:-1][None, :, :]  # (1,S,2)
+    q2 = chain[1:][None, :, :]
+
+    def cross(o, a, b):
+        return (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]
+        ) * (b[..., 0] - o[..., 0])
+
+    d1 = cross(q1, q2, p1)
+    d2 = cross(q1, q2, p2)
+    d3 = cross(p1, p2, q1)
+    d4 = cross(p1, p2, q2)
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+    def on_seg(a, b, c, dsign):
+        return (
+            (dsign == 0)
+            & (np.minimum(a[..., 0], b[..., 0]) <= c[..., 0])
+            & (c[..., 0] <= np.maximum(a[..., 0], b[..., 0]))
+            & (np.minimum(a[..., 1], b[..., 1]) <= c[..., 1])
+            & (c[..., 1] <= np.maximum(a[..., 1], b[..., 1]))
+        )
+
+    touch = (
+        on_seg(q1, q2, p1, d1)
+        | on_seg(q1, q2, p2, d2)
+        | on_seg(p1, p2, q1, d3)
+        | on_seg(p1, p2, q2, d4)
+    )
+    return (proper | touch).any(axis=1)
+
+
 def geom_intersects_segment(geom: Geometry, seg_a, seg_b) -> bool:
     """Does geometry intersect segment? For polygons: boundary crossing
     or either endpoint inside (sufficient because the segment is a

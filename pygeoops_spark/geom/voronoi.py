@@ -49,61 +49,72 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     )
     allp = np.vstack([pts, sup])
     S0, S1, S2 = n, n + 1, n + 2
-    # triangle store: dict id -> (i,j,k, ccx, ccy, r2)
-    tris: dict[int, tuple] = {}
-    next_id = 0
+
+    # growable columnar triangle store: the per-insertion bad-triangle
+    # search runs the determinant incircle predicate VECTORIZED over all
+    # live triangles, so Python only touches the small cavity per insert
+    cap = max(4 * n + 16, 64)
+    tri_idx = np.zeros((cap, 3), dtype=np.int64)
+    tvx = np.zeros((cap, 3))
+    tvy = np.zeros((cap, 3))
+    tsign = np.zeros(cap)  # orientation sign
+    alive = np.zeros(cap, dtype=bool)
+    count = 0
 
     def add_tri(i, j, k):
-        nonlocal next_id
-        ccx, ccy, r2 = _circumcenter(
-            allp[i, 0], allp[i, 1], allp[j, 0], allp[j, 1], allp[k, 0], allp[k, 1]
-        )
-        tris[next_id] = (i, j, k, ccx, ccy, r2)
-        next_id += 1
-
-    add_tri(S0, S1, S2)
-
-    def in_circumcircle(i, j, k, px, py) -> bool:
-        """Determinant incircle predicate (better conditioned than the
-        radius comparison for sliver triangles)."""
-        ax, ay = allp[i, 0] - px, allp[i, 1] - py
-        bx, by = allp[j, 0] - px, allp[j, 1] - py
-        cx, cy = allp[k, 0] - px, allp[k, 1] - py
-        det = (
-            (ax * ax + ay * ay) * (bx * cy - cx * by)
-            - (bx * bx + by * by) * (ax * cy - cx * ay)
-            + (cx * cx + cy * cy) * (ax * by - bx * ay)
-        )
+        nonlocal count, cap, tri_idx, tvx, tvy, tsign, alive
+        if count == cap:
+            cap *= 2
+            tri_idx = np.resize(tri_idx, (cap, 3))
+            tvx = np.resize(tvx, (cap, 3))
+            tvy = np.resize(tvy, (cap, 3))
+            tsign = np.resize(tsign, cap)
+            alive = np.resize(alive, cap)
+        tri_idx[count] = (i, j, k)
+        tvx[count] = (allp[i, 0], allp[j, 0], allp[k, 0])
+        tvy[count] = (allp[i, 1], allp[j, 1], allp[k, 1])
         orient = (allp[j, 0] - allp[i, 0]) * (allp[k, 1] - allp[i, 1]) - (
             allp[k, 0] - allp[i, 0]
         ) * (allp[j, 1] - allp[i, 1])
-        if orient < 0:
-            det = -det
-        return det > 0
+        tsign[count] = -1.0 if orient < 0 else 1.0
+        alive[count] = True
+        count += 1
+
+    add_tri(S0, S1, S2)
 
     # insertion order: sorted by x improves locality and robustness
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     for p in order:
         px, py = allp[p, 0], allp[p, 1]
-        bad = []
-        for tid, (i, j, k, ccx, ccy, r2) in tris.items():
-            if in_circumcircle(i, j, k, px, py):
-                bad.append(tid)
+        ax = tvx[:count, 0] - px
+        ay = tvy[:count, 0] - py
+        bx = tvx[:count, 1] - px
+        by = tvy[:count, 1] - py
+        cx_ = tvx[:count, 2] - px
+        cy_ = tvy[:count, 2] - py
+        det = (
+            (ax * ax + ay * ay) * (bx * cy_ - cx_ * by)
+            - (bx * bx + by * by) * (ax * cy_ - cx_ * ay)
+            + (cx_ * cx_ + cy_ * cy_) * (ax * by - bx * ay)
+        )
+        bad = np.nonzero(alive[:count] & (det * tsign[:count] > 0))[0]
+        if len(bad) == 0:
+            continue
         # boundary of the cavity: edges appearing exactly once
         edge_count: dict[tuple[int, int], int] = {}
         for tid in bad:
-            i, j, k = tris[tid][:3]
+            i, j, k = (int(v) for v in tri_idx[tid])
             for e in ((i, j), (j, k), (k, i)):
                 key = (min(e), max(e))
                 edge_count[key] = edge_count.get(key, 0) + 1
-        for tid in bad:
-            del tris[tid]
+        alive[bad] = False
         for (i, j), cnt in edge_count.items():
             if cnt == 1:
                 add_tri(i, j, p)
+    live = np.nonzero(alive[:count])[0]
     return [
-        (i, j, k)
-        for (i, j, k, *_rest) in tris.values()
+        (int(i), int(j), int(k))
+        for i, j, k in tri_idx[live]
         if i < n and j < n and k < n
     ]
 
@@ -140,10 +151,9 @@ def voronoi_edges(
     out = []
     for (i, j), ts in edge_map.items():
         if len(ts) == 2:
-            a = np.array(centers[ts[0]]) + offset
-            b = np.array(centers[ts[1]]) + offset
-            if not np.allclose(a, b, atol=1e-12):
-                out.append((a, b))
+            c0, c1 = centers[ts[0]], centers[ts[1]]
+            if abs(c0[0] - c1[0]) > 1e-12 or abs(c0[1] - c1[1]) > 1e-12:
+                out.append((np.array(c0) + offset, np.array(c1) + offset))
         elif len(ts) == 1 and include_rays:
             # hull edge: ray from the circumcenter, perpendicular to the
             # site edge, pointing away from the triangle's third vertex
@@ -160,6 +170,6 @@ def voronoi_edges(
             if norm == 0:
                 continue
             far = cc + (n / norm) * ray_len
-            if not np.allclose(cc, far, atol=1e-12):
+            if abs(cc[0] - far[0]) > 1e-12 or abs(cc[1] - far[1]) > 1e-12:
                 out.append((cc + offset, far + offset))
     return out
