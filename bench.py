@@ -108,15 +108,56 @@ def _mk_spark(cpus: int):
     )
 
 
+def _scaling_worker(cpus: int) -> None:
+    """Measure the two scaling workloads in this (fresh) process."""
+    n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "16000000"))
+    n_cl = int(os.environ.get("SPARK_GRAFT_SCALING_CENTERLINES", "60000"))
+    import statistics
+
+    s = _mk_spark(cpus)
+    _run_flagship(s, 100_000)  # warm up JVM + Python workers
+    _run_centerline(s, 2_000)
+    reps_f = [_timed(lambda: _run_flagship(s, n_pages)) for _ in range(3)]
+    reps_c = [_timed(lambda: _run_centerline(s, n_cl)) for _ in range(3)]
+    s.stop()
+    med_f = statistics.median(reps_f)
+    med_c = statistics.median(reps_c)
+    print(
+        json.dumps(
+            {
+                "flagship_sec": round(med_f, 3),
+                "flagship_reps": [round(v, 3) for v in reps_f],
+                "flagship_docs_per_sec": round(n_pages / med_f, 1),
+                "centerline_sec": round(med_c, 3),
+                "centerline_reps": [round(v, 3) for v in reps_c],
+                "centerline_ops_per_sec": round(n_cl / med_c, 1),
+            }
+        )
+    )
+
+
 def main() -> None:
+    worker = os.environ.get("SPARK_GRAFT_SCALING_WORKER")
+    if worker:
+        _scaling_worker(int(worker))
+        return
+
     import __spark_entry__ as entrymod
 
     results: dict[str, float] = {}
     throughput: dict[str, float] = {}
 
     spark = _mk_spark(CPUS)
-    # warm the JVM/Python workers so per-query times measure the queries
+    # warm the JVM AND the Python UDF workers so per-query times
+    # measure the queries, not worker cold-start
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).count()
 
     qs = entrymod.queries()
     t_total0 = time.time()
@@ -149,29 +190,25 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "0") == "1":
-        # N -> 4N evidence: identical jobs at local[8] and local[32].
-        # Inputs are sized so compute dominates fixed overheads, each
-        # session warms up first, and the best of 2 runs is taken.
-        n_pages_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "16000000"))
-        n_cl_scaling = int(os.environ.get("SPARK_GRAFT_SCALING_CENTERLINES", "60000"))
+        # N -> 4N evidence: identical jobs at local[8] and local[32],
+        # each measured in a FRESH subprocess (fresh JVM — measuring in
+        # a shared JVM makes the numbers GC/JIT-order noise). Inputs
+        # sized so compute dominates overheads; best of 2 runs.
+        import subprocess
+
         scaling: dict = {}
         for cpus in (8, 32):
-            s = _mk_spark(cpus)
-            _run_flagship(s, 100_000)  # warm up JVM + Python workers
-            _run_centerline(s, 2_000)
-            best_f = min(
-                _timed(lambda: _run_flagship(s, n_pages_scaling)) for _ in range(2)
+            env = dict(os.environ)
+            env["SPARK_GRAFT_SCALING_WORKER"] = str(cpus)
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=1800,
             )
-            best_c = min(
-                _timed(lambda: _run_centerline(s, n_cl_scaling)) for _ in range(2)
-            )
-            scaling[f"local[{cpus}]"] = {
-                "flagship_sec": round(best_f, 3),
-                "flagship_docs_per_sec": round(n_pages_scaling / best_f, 1),
-                "centerline_sec": round(best_c, 3),
-                "centerline_ops_per_sec": round(n_cl_scaling / best_c, 1),
-            }
-            s.stop()
+            line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
+            scaling[f"local[{cpus}]"] = json.loads(line)
         for wl in ("flagship", "centerline"):
             speedup = (
                 scaling["local[8]"][f"{wl}_sec"] / scaling["local[32]"][f"{wl}_sec"]

@@ -1,0 +1,57 @@
+"""Physical-plan assertions: the scale-critical properties (broadcast
+candidate joins, column pruning to the scan) must hold — a correct but
+shuffle-heavy plan is a regression even when results match."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_pip_join_broadcasts_and_prunes(spark, sf_dir):
+    from pygeoops_spark.corpus.pages import order_points, synth_zones
+    from pygeoops_spark.join.pip import pip_join_rects
+
+    j = pip_join_rects(order_points(spark, sf_dir), synth_zones(spark), level=5)
+    plan = _plan(j)
+    # the point side joins against a broadcast zone-cell table
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # column pruning: the parquet scan reads only the key column
+    assert "o_orderkey" in plan
+    assert "o_comment" not in plan
+
+
+def test_knn_join_broadcasts(spark, sf_dir):
+    from pygeoops_spark.corpus.pages import customer_points, synth_zones
+    from pygeoops_spark.join.knn import knn_join
+
+    centers = synth_zones(spark).select(
+        "zone_id",
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("x"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("y"),
+    )
+    k = knn_join(customer_points(spark, sf_dir), centers, "c_custkey", "zone_id", 3)
+    plan = _plan(k)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dedup_shuffles_hash_not_text(spark, sf_dir):
+    from pygeoops_spark.text.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = exact_dedup(docs)
+    plan = _plan(d)
+    # the pre-shuffle partial aggregation keys include the xxhash64
+    assert "xxhash64" in plan
+
+
+def test_tile_assignment_no_shuffle(spark, sf_dir):
+    from pygeoops_spark.corpus.pages import order_points
+    from pygeoops_spark.operators.grid import assign_to_grid
+
+    g = assign_to_grid(
+        order_points(spark, sf_dir), "x", "y", (0.0, 0.0, 1000.0, 1000.0), 8, 8
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection over the scan
