@@ -110,8 +110,8 @@ def _mk_spark(cpus: int):
 
 def _scaling_worker(cpus: int) -> None:
     """Measure the two scaling workloads in this (fresh) process."""
-    n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "16000000"))
-    n_cl = int(os.environ.get("SPARK_GRAFT_SCALING_CENTERLINES", "60000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "32000000"))
+    n_cl = int(os.environ.get("SPARK_GRAFT_SCALING_CENTERLINES", "16000"))
     import statistics
 
     s = _mk_spark(cpus)
@@ -196,8 +196,9 @@ def main() -> None:
         # sized so compute dominates overheads; best of 2 runs.
         import subprocess
 
+        lo = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
         scaling: dict = {}
-        for cpus in (8, 32):
+        for cpus in (lo, 4 * lo):
             env = dict(os.environ)
             env["SPARK_GRAFT_SCALING_WORKER"] = str(cpus)
             res = subprocess.run(
@@ -211,9 +212,10 @@ def main() -> None:
             scaling[f"local[{cpus}]"] = json.loads(line)
         for wl in ("flagship", "centerline"):
             speedup = (
-                scaling["local[8]"][f"{wl}_sec"] / scaling["local[32]"][f"{wl}_sec"]
+                scaling[f"local[{lo}]"][f"{wl}_sec"]
+                / scaling[f"local[{4 * lo}]"][f"{wl}_sec"]
             )
-            scaling[f"{wl}_speedup_8_to_32"] = round(speedup, 3)
+            scaling[f"{wl}_speedup_{lo}_to_{4 * lo}"] = round(speedup, 3)
             scaling[f"{wl}_efficiency"] = round(speedup / 4.0, 3)
         out["scaling"] = scaling
 
