@@ -476,6 +476,23 @@ def _q_remove_inner_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html -> text extraction; evidences the byte-identical-text
+    invariant (input_hint): rebuilding html around each document's text
+    and stripping tags must reproduce the text exactly."""
+    from pygeoops_spark.text.quality import extract_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    html = F.encode(
+        F.concat(F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")),
+        "UTF-8",
+    )
+    return docs.select(
+        "doc_id",
+        (extract_text(html) == F.col("text")).cast("int").alias("text_identical"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.text.dedup import exact_dedup
 
@@ -607,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect": _q_collect,
         "extend_line": _q_extend_line,
         "remove_inner_rings": _q_remove_inner_rings,
+        "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
         "token_count": _q_token_count,
@@ -769,6 +787,12 @@ def oracle_sql() -> dict[str, str]:
                    round((xmax - xmin) * (ymax - ymin), 6) AS area_dropped,
                    round((xmax - xmin) * (ymax - ymin) - CAST(800 AS DOUBLE), 6) AS area_kept
             FROM zones
+        """,
+        "extract_text": r"""
+            SELECT doc_id,
+                   CAST(regexp_replace('<html><body><p>' || text || '</p></body></html>',
+                                       '<[^>]*>', '', 'g') = text AS INT) AS text_identical
+            FROM documents
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count

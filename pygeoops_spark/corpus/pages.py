@@ -20,6 +20,9 @@ bit-identical doubles.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,8 +79,27 @@ def synth_zones(spark: SparkSession, m: int = N_ZONES) -> DataFrame:
 
 
 # -- input_hint corpus ----------------------------------------------------
+def with_point_wkb(df: DataFrame, x: str = "x", y: str = "y", out: str = "geom") -> DataFrame:
+    """Attach a WKB point geometry column built from x/y (vectorized
+    struct-pack in an Arrow batch; little-endian ISO WKB)."""
+
+    @F.pandas_udf("binary")
+    def _wkb(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        n = len(xs)
+        buf = np.zeros((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1] = 1  # type=Point, little-endian uint32
+        buf[:, 5:13] = xs.to_numpy(np.float64).view(np.uint8).reshape(n, 8)
+        buf[:, 13:21] = ys.to_numpy(np.float64).view(np.uint8).reshape(n, 8)
+        return pd.Series(list(buf.tobytes()[i * 21 : (i + 1) * 21] for i in range(n)))
+
+    return df.withColumn(out, _wkb(F.col(x), F.col(y)))
+
+
 def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    """Deterministic pages table (input_hint schema + x/y geotag)."""
+    """Deterministic pages table (input_hint schema + x/y geotag).
+    Use with_point_wkb() to add the WKB `geom` column when an operator
+    needs geometry bytes rather than coordinate columns."""
     df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
     h = (i * 2654435761) % 2147483647  # Knuth multiplicative mix

@@ -92,15 +92,16 @@ def jaccard_pairs(
     shingle (hashes as keys at scale), count the intersection, compute
     |A ∩ B| / (|A| + |B| - |A ∩ B|). Output: id_a < id_b, jaccard.
     """
-    sh = shingle_table(df, id_col, text_col, n)
-    a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("_n_sh").alias("na"), "shingle"
+    # join on the shingle's 8-byte hash, not the string: the shuffle
+    # carries longs (64-bit collisions are ~n^2/2^65 — negligible, and
+    # a collision only inflates `common` for one pair by 1)
+    sh = shingle_table(df, id_col, text_col, n).withColumn(
+        "_sh", F.xxhash64("shingle")
     )
-    b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("_n_sh").alias("nb"), "shingle"
-    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_n_sh").alias("na"), "_sh")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_n_sh").alias("nb"), "_sh")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "_sh")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("common"))
@@ -164,13 +165,13 @@ def minhash_lsh_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard
-    sh = shingle_table(df, id_col, text_col, n)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_n_sh").alias("na"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_n_sh").alias("nb"), "shingle")
+    # verify candidates with exact jaccard (hashed shingles as keys)
+    sh = shingle_table(df, id_col, text_col, n).withColumn("_sh", F.xxhash64("shingle"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("_n_sh").alias("na"), "_sh")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("_n_sh").alias("nb"), "_sh")
     common = (
         cands.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        .join(b, ["id_b", "_sh"])
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(F.count("*").alias("common"))
     )

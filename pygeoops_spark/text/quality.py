@@ -98,6 +98,15 @@ def langid(df: DataFrame, text: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", best)
 
 
+def extract_text(html: Column | str) -> Column:
+    """Extract visible text from an html binary column (tag-strip
+    heuristic, pure SQL). On the synthetic corpus this reproduces the
+    `text` column byte-identically — the per-row invariant the engine
+    must preserve through every pipeline."""
+    html = F.col(html) if isinstance(html, str) else html
+    return F.regexp_replace(F.decode(html, "UTF-8"), F.lit(r"<[^>]*>"), F.lit(""))
+
+
 def doc_fingerprint(text: Column | str, mod: int = 1_000_000_007) -> Column:
     """Order-sensitive polynomial rolling hash over words, engine-portable:
     acc = (acc*31 + ascii(first_char) + length(word)) % mod.
