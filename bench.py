@@ -78,6 +78,41 @@ def _run_centerline(spark, n_polys: int) -> int:
     return n_polys
 
 
+def _run_simplify_50k(spark, n_polys: int = 50_000) -> int:
+    """Reference-comparable workload: simplify rdp over n densified
+    (101-coord) polygons — mirrors the reference benchmark's 50k
+    Flanders parcels (benchmark_results.csv: 7.3 s single-thread)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from pygeoops_spark.operators.simplify import simplify_col
+
+    @F.pandas_udf(BinaryType())
+    def dense_poly(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+
+        out = []
+        for i in ids:
+            w = 100 + (int(i) * 29) % 40
+            h = 50 + (int(i) * 7) % 30
+            x0, y0 = (int(i) % 256) * 150.0, (int(i) // 256 % 256) * 150.0
+            corners = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            ring = []
+            for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1]):
+                for t in np.linspace(0, 1, 26)[:-1]:
+                    ring.append((ax + (bx - ax) * t, ay + (by - ay) * t))
+            out.append(wkb_dumps(mk_poly(ring)))
+        return pd.Series(out)
+
+    df = spark.range(n_polys).select(dense_poly("id").alias("wkb"))
+    df.select(simplify_col("wkb", 1.0, "rdp").alias("s")).where(
+        F.col("s").isNotNull()
+    ).count()
+    return n_polys
+
+
 def _run_flagship(spark, n_pages: int) -> int:
     """Flagship spatial pipeline: synth pages -> PIP join -> tile rollup.
     Returns number of input docs processed (for docs/sec)."""
@@ -177,6 +212,13 @@ def main() -> None:
     dt = time.time() - t0
     results["flagship_pip_tile"] = round(dt, 3)
     throughput["flagship_docs_per_sec"] = round(n_docs / dt, 1)
+
+    # reference-comparable simplify workload (50k polygons)
+    t0 = time.time()
+    n_s = _run_simplify_50k(spark)
+    dt = time.time() - t0
+    results["simplify_50k"] = round(dt, 3)
+    throughput["simplify_geoms_per_sec"] = round(n_s / dt, 1)
     total = time.time() - t_total0
     spark.stop()
 
