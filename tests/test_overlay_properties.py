@@ -1,0 +1,127 @@
+"""Property-based overlay tests (hypothesis): algebraic invariants of
+union/intersection/difference over random axis-aligned and convex
+inputs — the robustness net under the golden tests."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pygeoops_spark.geom import polygon
+from pygeoops_spark.geom.kernels import polygon_area
+from pygeoops_spark.geom.overlay import (
+    polygon_difference,
+    polygon_intersection,
+    polygon_union,
+)
+
+coords = st.integers(min_value=0, max_value=40)
+
+
+@st.composite
+def boxes(draw):
+    x0 = draw(coords)
+    y0 = draw(coords)
+    w = draw(st.integers(min_value=1, max_value=15))
+    h = draw(st.integers(min_value=1, max_value=15))
+    return polygon([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+
+
+def _area(g):
+    return 0.0 if g is None else polygon_area(g)
+
+
+def _rect_intersection_area(a, b) -> float:
+    (ax0, ay0), (ax1, ay1) = a.data[0][0], a.data[0][2]
+    (bx0, by0), (bx1, by1) = b.data[0][0], b.data[0][2]
+    w = min(ax1, bx1) - max(ax0, bx0)
+    h = min(ay1, by1) - max(ay0, by0)
+    return max(w, 0.0) * max(h, 0.0)
+
+
+@settings(max_examples=120, deadline=None)
+@given(boxes(), boxes())
+def test_intersection_area_matches_rect_formula(a, b):
+    expected = _rect_intersection_area(a, b)
+    got = _area(polygon_intersection(a, b))
+    assert abs(got - expected) < 1e-9
+
+
+@settings(max_examples=120, deadline=None)
+@given(boxes(), boxes())
+def test_difference_area_identity(a, b):
+    # |A \ B| = |A| - |A ∩ B|
+    expected = polygon_area(a) - _rect_intersection_area(a, b)
+    got = _area(polygon_difference(a, b))
+    assert abs(got - expected) < 1e-9
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(boxes(), min_size=2, max_size=5))
+def test_union_inclusion_exclusion_bounds(parts):
+    u = polygon_union(parts)
+    total = sum(polygon_area(p) for p in parts)
+    biggest = max(polygon_area(p) for p in parts)
+    got = _area(u)
+    assert got <= total + 1e-9
+    assert got >= biggest - 1e-9
+
+
+@settings(max_examples=80, deadline=None)
+@given(boxes(), boxes())
+def test_union_pair_inclusion_exclusion_exact(a, b):
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for two rectangles
+    expected = polygon_area(a) + polygon_area(b) - _rect_intersection_area(a, b)
+    got = _area(polygon_union([a, b]))
+    assert abs(got - expected) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(boxes(), boxes(), boxes())
+def test_difference_then_union_disjoint(a, b, c):
+    # (A \ B) must not intersect B
+    d = polygon_difference(a, b)
+    if d is None:
+        return
+    i = polygon_intersection(d, b)
+    assert _area(i) < 1e-9
+    # and differencing twice is idempotent in area
+    d2 = polygon_difference(d, b)
+    assert abs(_area(d2) - _area(d)) < 1e-9
+
+
+@st.composite
+def convex_polys(draw):
+    from pygeoops_spark.geom.kernels import convex_hull_coords
+
+    n = draw(st.integers(min_value=4, max_value=9))
+    pts = np.array(
+        [
+            (draw(st.integers(0, 30)) + draw(st.integers(0, 9)) / 10.0,
+             draw(st.integers(0, 30)) + draw(st.integers(0, 9)) / 10.0)
+            for _ in range(n)
+        ]
+    )
+    hull = convex_hull_coords(pts)
+    if len(hull) < 4:
+        # collinear sample: fall back to a triangle around the points
+        x, y = pts[0]
+        hull = np.array([(x, y), (x + 3, y), (x, y + 3), (x, y)])
+    return polygon(hull)
+
+
+@settings(max_examples=100, deadline=None)
+@given(convex_polys(), convex_polys())
+def test_convex_difference_intersection_identity(a, b):
+    # |A \ B| + |A ∩ B| = |A| — ties the difference and intersection
+    # code paths together on arbitrary convex inputs
+    inter = _area(polygon_intersection(a, b))
+    diff = _area(polygon_difference(a, b))
+    assert abs((diff + inter) - polygon_area(a)) < 1e-6
+
+
+@settings(max_examples=100, deadline=None)
+@given(convex_polys(), convex_polys())
+def test_convex_union_inclusion_exclusion(a, b):
+    inter = _area(polygon_intersection(a, b))
+    u = _area(polygon_union([a, b]))
+    assert abs(u - (polygon_area(a) + polygon_area(b) - inter)) < 1e-6
