@@ -52,3 +52,21 @@ def test_simplify_topo_adjacent_squares_unchanged(spark):
         assert polygon_area(rows[i]) == pytest.approx(100.0)
         got = {tuple(c) for c in np.asarray(rows[i].data[0])}
         assert got == {tuple(map(float, c)) for c in sq}
+
+
+def test_simplify_topo_with_hole(spark):
+    """Features with interior rings keep them through the pipeline."""
+    from pygeoops_spark.operators.simplify_topo import simplify_topo
+
+    p1 = mk_poly([(0, 0), (20, 0), (20, 20), (0, 20)], [[(5, 5), (8, 5), (8, 8), (5, 8)]])
+    p2 = mk_poly([(20, 0), (40, 0), (40, 20), (20, 20)])
+    df = spark.createDataFrame(
+        [(0, wkb_dumps(p1)), (1, wkb_dumps(p2))], ["fid", "wkb"]
+    )
+    out = {
+        r["fid"]: wkb_loads(bytes(r["simplified_wkb"]))
+        for r in simplify_topo(df, "fid", "wkb", 1, "rdp").collect()
+    }
+    assert polygon_area(out[0]) == pytest.approx(400 - 9)
+    assert len(out[0].data) == 2  # shell + hole
+    assert polygon_area(out[1]) == pytest.approx(400)
