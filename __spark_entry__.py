@@ -199,6 +199,41 @@ def _q_view_angles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_view_angles_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row (viewpoint, geometry) view angles: every order point
+    views a fixed far-NE rectangle (no wrap) -> oracle = min/max atan2
+    over the 4 corners."""
+    from pygeoops_spark.corpus.pages import order_points
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.operators.view_angles import view_angles_pairs
+
+    rect_wkb = wkb_dumps(
+        mk_poly([(1100.0, 1100.0), (1200.0, 1100.0), (1200.0, 1200.0), (1100.0, 1200.0)])
+    )
+    pts = (
+        order_points(spark, sf_dir)
+        .where(F.col("o_orderkey") % 8 == 0)  # deterministic subsample
+        .withColumn("wkb", F.lit(rect_wkb))
+    )
+    out = view_angles_pairs(pts, "x", "y", "wkb")
+    return out.select(
+        "o_orderkey",
+        F.round(F.col("view_angles.angle_start"), 6).alias("angle_start"),
+        F.round(F.col("view_angles.angle_end"), 6).alias("angle_end"),
+    )
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF-flat approximate top-k (recall measured in tests)."""
+    from pygeoops_spark.ann.cosine import cosine_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 50)
+    return cosine_topk_ivf(queries, emb, k=5, n_cells=16, nprobe=4).select(
+        "query_id", "neighbor_id", "ann_rank"
+    )
+
+
 def _q_simplify_rdp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.operators.simplify import num_coords_col, simplify_col
 
@@ -613,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_join": _q_bbox_join,
         "knn_join": _q_knn_join,
         "view_angles": _q_view_angles,
+        "view_angles_pairs": _q_view_angles_pairs,
+        "ann_ivf": _q_ann_ivf,
         "simplify_rdp": _q_simplify_rdp,
         "simplify_vw": _q_simplify_vw,
         "simplify_lang": _q_simplify_lang,
@@ -727,6 +764,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT zone_id, round(min(ang), 6) AS angle_start, round(max(ang), 6) AS angle_end
             FROM corners GROUP BY zone_id
+        """,
+        "view_angles_pairs": f"""
+            WITH {ORDER_PTS_CTE.strip()},
+            sub AS (SELECT * FROM pts WHERE o_orderkey % 8 = 0),
+            corners AS (
+              SELECT o_orderkey, unnest([
+                degrees(atan2(1100.0 - y, 1100.0 - x)),
+                degrees(atan2(1100.0 - y, 1200.0 - x)),
+                degrees(atan2(1200.0 - y, 1200.0 - x)),
+                degrees(atan2(1200.0 - y, 1100.0 - x))
+              ]) AS ang
+              FROM sub
+            )
+            SELECT o_orderkey, round(min(ang), 6) AS angle_start, round(max(ang), 6) AS angle_end
+            FROM corners GROUP BY o_orderkey
         """,
         "simplify_rdp": """
             -- densified rectangle rings (101 coords) simplify to the 4
