@@ -79,6 +79,7 @@ def _arc_key(coords: np.ndarray) -> str:
 _SEG_SCHEMA = StructType(
     [
         StructField("fid", LongType()),
+        StructField("part", IntegerType()),
         StructField("ring", IntegerType()),
         StructField("seq", IntegerType()),
         StructField("ax", DoubleType()),
@@ -96,16 +97,16 @@ def _explode_segments(df: DataFrame, id_col: str, wkb_col: str) -> DataFrame:
             if b is None:
                 continue
             g = wkb_loads(bytes(b))
-            ring_no = 0
-            for part in get_parts(g):
-                if part.type_id != POLYGON:
-                    continue
-                for ring in part.data:
+            for part_no, part in enumerate(
+                p for p in get_parts(g) if p.type_id == POLYGON
+            ):
+                for ring_no, ring in enumerate(part.data):
                     arr = np.asarray(ring, dtype=float)
                     for i in range(len(arr) - 1):
                         rows.append(
                             (
                                 int(fid),
+                                part_no,
                                 ring_no,
                                 i,
                                 arr[i, 0],
@@ -114,9 +115,8 @@ def _explode_segments(df: DataFrame, id_col: str, wkb_col: str) -> DataFrame:
                                 arr[i + 1, 1],
                             )
                         )
-                    ring_no += 1
         return pd.DataFrame(
-            rows, columns=["fid", "ring", "seq", "ax", "ay", "bx", "by"]
+            rows, columns=["fid", "part", "ring", "seq", "ax", "ay", "bx", "by"]
         )
 
     return df.select(id_col, wkb_col).mapInPandas(
@@ -166,14 +166,14 @@ def simplify_topo(
         joined.where(seg_len2 > 0)
         .where((F.abs(cross) / F.sqrt(seg_len2)) < 1e-9)
         .where((t > 1e-12) & (t < 1 - 1e-12))
-        .select("fid", "ring", "seq", t.alias("t"), "vx", "vy")
+        .select("fid", "part", "ring", "seq", t.alias("t"), "vx", "vy")
         .distinct()
     )
-    split_map = splits.groupBy("fid", "ring", "seq").agg(
+    split_map = splits.groupBy("fid", "part", "ring", "seq").agg(
         F.sort_array(F.collect_list(F.struct("t", "vx", "vy"))).alias("pts")
     )
     noded = (
-        segs.join(split_map, ["fid", "ring", "seq"], "left")
+        segs.join(split_map, ["fid", "part", "ring", "seq"], "left")
         .withColumn(
             "chain",
             F.concat(
@@ -184,6 +184,7 @@ def simplify_topo(
         )
         .select(
             "fid",
+            "part",
             "ring",
             "seq",
             F.posexplode(
@@ -195,6 +196,7 @@ def simplify_topo(
         )
         .select(
             "fid",
+            "part",
             "ring",
             "seq",
             "sub",
@@ -226,6 +228,7 @@ def simplify_topo(
     arc_schema = StructType(
         [
             StructField("fid", LongType()),
+            StructField("part", IntegerType()),
             StructField("ring", IntegerType()),
             StructField("arc_pos", IntegerType()),
             StructField("arc_id", StringType()),
@@ -236,7 +239,7 @@ def simplify_topo(
 
     def build_arcs(pdf: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for (fid, ring), grp in pdf.groupby(["fid", "ring"]):
+        for (fid, part, ring), grp in pdf.groupby(["fid", "part", "ring"]):
             grp = grp.sort_values(["seq", "sub"])
             segs_l = grp[["ax", "ay", "bx", "by"]].to_numpy()
             sigs = [tuple(s) for s in grp["fids"]]
@@ -269,6 +272,7 @@ def simplify_topo(
                 out.append(
                     (
                         int(fid),
+                        int(part),
                         int(ring),
                         pos,
                         _arc_key(carr),
@@ -277,10 +281,10 @@ def simplify_topo(
                     )
                 )
         return pd.DataFrame(
-            out, columns=["fid", "ring", "arc_pos", "arc_id", "reversed", "coords"]
+            out, columns=["fid", "part", "ring", "arc_pos", "arc_id", "reversed", "coords"]
         )
 
-    arcs = noded.groupBy("fid", "ring").applyInPandas(build_arcs, arc_schema).cache()
+    arcs = noded.groupBy("fid", "part", "ring").applyInPandas(build_arcs, arc_schema).cache()
 
     # --- 5. simplify each distinct arc once --------------------------
     simp_schema = StructType(
@@ -314,27 +318,30 @@ def simplify_topo(
 
     def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["fid"].iloc[0])
-        rings_out = []
-        for ring, grp in pdf.groupby("ring"):
-            grp = grp.sort_values("arc_pos")
-            pts: list[list[float]] = []
-            for _, row in grp.iterrows():
-                c = np.array([list(p) for p in row["scoords"]], dtype=float)
-                if row["reversed"]:
-                    c = c[::-1]
-                if pts:
-                    c = c[1:]
-                pts.extend(c.tolist())
-            arr = np.array(pts)
-            if len(arr) and not np.array_equal(arr[0], arr[-1]):
-                arr = np.vstack([arr, arr[:1]])
-            if len(arr) >= 4:
-                rings_out.append(arr)
-        if not rings_out:
+        polys: list[Geometry] = []
+        for _part, pgrp in pdf.groupby("part"):
+            rings_out = []
+            for _ring, grp in pgrp.groupby("ring"):
+                grp = grp.sort_values("arc_pos")
+                pts: list[list[float]] = []
+                for _, row in grp.iterrows():
+                    c = np.array([list(p) for p in row["scoords"]], dtype=float)
+                    if row["reversed"]:
+                        c = c[::-1]
+                    if pts:
+                        c = c[1:]
+                    pts.extend(c.tolist())
+                arr = np.array(pts)
+                if len(arr) and not np.array_equal(arr[0], arr[-1]):
+                    arr = np.vstack([arr, arr[:1]])
+                if len(arr) >= 4:
+                    rings_out.append(arr)
+            if rings_out:
+                # ring 0 = shell, rest holes (within one polygon part)
+                polys.append(Geometry(POLYGON, rings_out))
+        if not polys:
             return pd.DataFrame({id_col: [fid], "simplified_wkb": [None]})
-        # first ring = shell, rest holes (single-polygon scope; multi-
-        # polygon features keep their ring order from explode)
-        g = Geometry(POLYGON, rings_out) if len(rings_out) >= 1 else None
+        g = polys[0] if len(polys) == 1 else multi(MULTIPOLYGON, polys)
         return pd.DataFrame({id_col: [fid], "simplified_wkb": [wkb_dumps(g)]})
 
     return joined_arcs.groupBy("fid").applyInPandas(rebuild, out_schema)

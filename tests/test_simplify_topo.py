@@ -70,3 +70,24 @@ def test_simplify_topo_with_hole(spark):
     assert polygon_area(out[0]) == pytest.approx(400 - 9)
     assert len(out[0].data) == 2  # shell + hole
     assert polygon_area(out[1]) == pytest.approx(400)
+
+
+def test_simplify_topo_multipolygon(spark):
+    """MultiPolygon features keep their parts separate."""
+    from pygeoops_spark.geom import collection, multi
+    from pygeoops_spark.geom.wkb import MULTIPOLYGON
+    from pygeoops_spark.operators.simplify_topo import simplify_topo
+
+    mp = multi(
+        MULTIPOLYGON,
+        [
+            mk_poly([(0, 0), (10, 0), (10, 10), (0, 10)]),
+            mk_poly([(30, 0), (40, 0), (40, 10), (30, 10)]),
+        ],
+    )
+    df = spark.createDataFrame([(0, wkb_dumps(mp))], ["fid", "wkb"])
+    out = simplify_topo(df, "fid", "wkb", 1, "rdp").collect()
+    g = wkb_loads(bytes(out[0]["simplified_wkb"]))
+    assert g.type_id == MULTIPOLYGON
+    assert len(g.data) == 2
+    assert polygon_area(g) == pytest.approx(200.0)

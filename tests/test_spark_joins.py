@@ -180,3 +180,18 @@ def test_pages_corpus_deterministic_and_text_invariant(spark):
         .first()
     )
     assert top["count"] > 0.05 * 2000
+
+
+def test_pip_join_salted_matches_unsalted(spark):
+    """Salted skew-mitigation join must give identical pairs on the
+    hotspot-skewed pages corpus."""
+    from pygeoops_spark.join.pip import pip_join_rects_salted
+
+    pages = synth_pages(spark, 3000)
+    zones = synth_zones(spark)
+    plain = pip_join_rects(pages, zones, level=5).select("url", "zone_id")
+    salted = pip_join_rects_salted(pages, zones, level=5, n_salt=8, salt_key="url").select(
+        "url", "zone_id"
+    )
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
