@@ -591,6 +591,28 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, n=3, threshold=0.2)
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the exact-jaccard
+    pair graph (min-label propagation). Oracle: DuckDB recursive CTE
+    transitive closure."""
+    from pygeoops_spark.text.dedup import jaccard_pairs
+    from pygeoops_spark.text.pipeline import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (30-min gap)."""
+    from pygeoops_spark.text.pipeline import session_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, gap_seconds=1800)
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: murmur/xxhash-based signatures aren't reproducible in
     the DuckDB oracle; exactness is covered by test_text.py comparing
@@ -669,6 +691,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "doc_fingerprint": _q_doc_fingerprint,
         "jaccard_pairs": _q_jaccard_pairs,
+        "dedup_components": _q_dedup_components,
+        "sessionize": _q_sessionize,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_cosine": _q_ann_cosine,
@@ -932,6 +956,54 @@ def oracle_sql() -> dict[str, str]:
                    round(common / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
             FROM pairs
             WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.2
+        """,
+        "dedup_components": f"""
+            WITH RECURSIVE {DOC_WORDS_CTE.strip()},
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(words) - 2, 1)),
+                       i -> array_to_string(words[i:i+2], ' '))) AS shingles
+              FROM w
+            ),
+            e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+              HAVING count(*) / CAST(a.n_sh + b.n_sh - count(*) AS DOUBLE) >= 0.2
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS component
+            FROM reach GROUP BY a
+        """,
+        "sessionize": """
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            t AS (
+              SELECT user_id,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            )
+            SELECT user_id, CAST(max(sid) AS INT) AS n_sessions,
+                   count(*) AS n_events
+            FROM t GROUP BY user_id
         """,
         "ann_cosine": """
             WITH sim AS (
