@@ -78,9 +78,14 @@ def run_checkpointed(
         todo.groupBy(F.col(part_col).alias("part_key"))
         .agg(
             F.count("*").alias("rows_out"),
-            F.sum(F.xxhash64(*[c for c in df.columns if c != part_col])).alias(
-                "checksum"
-            ),
+            # xor-fold: order-insensitive and overflow-free (a sum of
+            # 64-bit hashes overflows under ANSI mode at scale)
+            F.expr(
+                "bit_xor("
+                + "xxhash64("
+                + ", ".join(f"`{c}`" for c in df.columns if c != part_col)
+                + "))"
+            ).alias("checksum"),
         )
         .collect()
     )

@@ -122,9 +122,13 @@ def minhash_signatures(
     """k-permutation MinHash signature per doc, one groupBy (map-side
     combined). Signature element j = min over shingles of h_j(xxhash64)."""
     sh = shingle_table(df, id_col, text_col, n)
-    x = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    # ANSI-safe arithmetic: keep x and a below 2^31 so x*a + b < 2^63
+    # (the driver session may run with spark.sql.ansi.enabled=true,
+    # where silent long wraparound becomes a runtime error)
+    m31 = (1 << 31) - 1
+    x = F.pmod(F.xxhash64("shingle"), F.lit(m31))
     aggs = [
-        F.min(F.pmod(x * F.lit(a % MERSENNE_P) + F.lit(b % MERSENNE_P), F.lit(MERSENNE_P))).alias(f"mh_{j}")
+        F.min(x * F.lit(a % m31) + F.lit(b % m31)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(_hash_family(k))
     ]
     return sh.groupBy(id_col).agg(*aggs)
