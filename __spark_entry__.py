@@ -13,9 +13,14 @@ oracle entry -> driver records rows-only checks.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-import pandas as pd  # noqa: F401 — pandas_udf type hints resolve here
+# ensure the package resolves regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pandas as pd  # noqa: F401,E402 — pandas_udf type hints resolve here
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
