@@ -433,6 +433,42 @@ def _q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect -> explode round-trip: exploding the per-tile multipoints
+    yields exactly the original point count per tile."""
+    from pygeoops_spark.corpus.pages import order_points
+    from pygeoops_spark.operators.collection import collect_agg, parts_recursive_col
+    from pygeoops_spark.operators.grid import assign_to_grid
+
+    pts = assign_to_grid(
+        order_points(spark, sf_dir), "x", "y", (0.0, 0.0, 1000.0, 1000.0), 8, 8
+    )
+
+    @F.pandas_udf("binary")
+    def point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
+        from pygeoops_spark.geom import point as mk_point, wkb_dumps
+
+        return pd.Series([wkb_dumps(mk_point(a, b)) for a, b in zip(x, y)])
+
+    collected = collect_agg(pts.withColumn("wkb", point_wkb("x", "y")), ["tile_id"], "wkb")
+    exploded = collected.select(
+        "tile_id", F.explode(parts_recursive_col("collected_wkb")).alias("part")
+    )
+    return exploded.groupBy("tile_id").agg(F.count("*").alias("n_exploded"))
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event rollup (decimal sums for cross-engine
+    bit-exactness)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy(
+        F.to_date(F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("total_value"),
+    )
+
+
 def _q_extend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extend_line_to_geometry: the middle third of each zone's midline
     extends to the zone boundary -> endpoints (xmin, ymid), (xmax, ymid).
@@ -688,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collect": _q_collect,
         "extend_line": _q_extend_line,
         "remove_inner_rings": _q_remove_inner_rings,
+        "explode_parts": _q_explode_parts,
+        "events_rollup": _q_events_rollup,
         "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
@@ -868,6 +906,18 @@ def oracle_sql() -> dict[str, str]:
                    round((xmax - xmin) * (ymax - ymin), 6) AS area_dropped,
                    round((xmax - xmin) * (ymax - ymin) - CAST(800 AS DOUBLE), 6) AS area_kept
             FROM zones
+        """,
+        "explode_parts": f"""
+            WITH {ORDER_PTS_CTE.strip()}
+            SELECT CAST(least(floor(x / 125.0), 7) * 8 + least(floor(y / 125.0), 7) AS BIGINT) AS tile_id,
+                   count(*) AS n_exploded
+            FROM pts GROUP BY 1
+        """,
+        "events_rollup": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS total_value
+            FROM events GROUP BY 1, 2
         """,
         "extract_text": r"""
             SELECT doc_id,

@@ -195,3 +195,26 @@ def test_pip_join_salted_matches_unsalted(spark):
     )
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_zorder_id_matches_python_reference(spark):
+    """Morton interleave column matches a bit-twiddling reference."""
+    from pygeoops_spark.join.cells import cell_coord, zorder_id
+
+    pts = synth_pages(spark, 500).select("url", "x", "y")
+    level = 6
+    got = pts.withColumn("z", zorder_id("x", "y", level)).select("x", "y", "z").collect()
+
+    def interleave(ix, iy):
+        z = 0
+        for b in range(level):
+            z |= ((ix >> b) & 1) << (2 * b + 1)
+            z |= ((iy >> b) & 1) << (2 * b)
+        return z
+
+    n = 1 << level
+    s = 1024.0 / n
+    for r in got:
+        ix = min(max(int(r["x"] // s), 0), n - 1)
+        iy = min(max(int(r["y"] // s), 0), n - 1)
+        assert r["z"] == interleave(ix, iy)
