@@ -693,6 +693,37 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic relational capability: revenue per nation (lineitem x
+    orders x customer x nation), decimal-exact arithmetic."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).cast("decimal(24,4)").alias("revenue"),
+        )
+    )
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: frames per media at 1000ms cadence.
+    Oracle: pure arithmetic on the deterministic media table."""
+    from pygeoops_spark.text.multimodal import frame_sample_plan, synth_media
+
+    media = synth_media(spark, 1000)
+    plan = frame_sample_plan(media, every_ms=1000)
+    return plan.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: multimodal plumbing (fake decode, real Spark shape)."""
     from pygeoops_spark.text.multimodal import extract_features, synth_media
@@ -738,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
+        "revenue_rollup": _q_revenue_rollup,
+        "frame_sample": _q_frame_sample,
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
@@ -1059,6 +1092,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(sid) AS INT) AS n_sessions,
                    count(*) AS n_events
             FROM t GROUP BY user_id
+        """,
+        "revenue_rollup": """
+            SELECT n.n_name,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
+                        AS DECIMAL(24,4)) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "frame_sample": """
+            -- synth media: kind=video when i%3=2, duration=(i*97)%60000
+            SELECT i AS media_id,
+                   ((i * 97) % 60000) // 1000 + 1 AS n_frames
+            FROM range(1000) t(i)
+            WHERE i % 3 = 2
         """,
         "ann_cosine": """
             WITH sim AS (
