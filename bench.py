@@ -41,11 +41,16 @@ BENCH_QUERIES = [
     "langid",
     "doc_fingerprint",
     "jaccard_pairs",
+    "dedup_components",
+    "sessionize",
     "minhash_lsh",
     "simhash",
     "ann_cosine",
     "ann_lsh",
     "media_features",
+    "revenue_rollup",
+    "extract_text",
+    "simplify_topo",
 ]
 
 

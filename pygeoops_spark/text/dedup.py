@@ -98,6 +98,13 @@ def jaccard_pairs(
     sh = shingle_table(df, id_col, text_col, n).withColumn(
         "_sh", F.xxhash64("shingle")
     )
+    # scale-essential prefilter: shingles occurring once can never form
+    # a pair — drop them before the self-join (at web scale the unique
+    # tail is the overwhelming majority of shingles)
+    repeated = (
+        sh.groupBy("_sh").count().where(F.col("count") > 1).select("_sh")
+    )
+    sh = sh.join(repeated, "_sh", "left_semi")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("_n_sh").alias("na"), "_sh")
     b = sh.select(F.col(id_col).alias("id_b"), F.col("_n_sh").alias("nb"), "_sh")
     common = (
