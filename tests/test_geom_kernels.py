@@ -247,3 +247,16 @@ def test_view_angles_goldens(descr, start, end, wkt):
         assert math.isnan(got[0]) and math.isnan(got[1])
     else:
         assert got == (start, end), descr
+
+
+def test_view_angles_error_contracts():
+    # reference tests/test_view_angles.py:104-118
+    from pygeoops_spark.geom.view_angles import view_angles as va
+
+    with pytest.raises(ValueError, match="can't be a multipart"):
+        va((0.0, 0.0), wkt_loads("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"))
+    # empty -> nan pair, None -> nan pair
+    s, e = va((0.0, 0.0), wkt_loads("POLYGON EMPTY"))
+    assert s != s and e != e
+    s, e = va((0.0, 0.0), None)
+    assert s != s and e != e
