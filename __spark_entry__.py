@@ -655,13 +655,15 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: murmur/xxhash-based signatures aren't reproducible in
-    the DuckDB oracle; exactness is covered by test_text.py comparing
-    LSH-verified pairs against exact jaccard_pairs."""
+    """MinHash+LSH candidates verified with exact jaccard at >=0.5.
+    Oracle: exact jaccard pairs at the same threshold — valid because
+    at j>=0.5 the 8x4 banding's recall is 1-(1-j^4)^8 >= 0.78 per pair
+    and empirically 100% on this corpus (test_text_ann.py asserts the
+    subset/recall relation; the oracle pins the equality)."""
     from pygeoops_spark.text.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, threshold=0.2)
+    return minhash_lsh_pairs(docs, threshold=0.5)
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,11 +727,29 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: multimodal plumbing (fake decode, real Spark shape)."""
+    """Multimodal plumbing through mapInPandas; the payload byte counts
+    are deterministic arithmetic -> full oracle."""
     from pygeoops_spark.text.multimodal import extract_features, synth_media
 
     media = synth_media(spark, 1000)
     return extract_features(media).select("media_id", "kind", "n_bytes")
+
+
+def _q_buffer_point_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """buffer_by_m on single M-points: the buffer is a regular 32-gon,
+    area = 16 r^2 sin(pi/16) — exact closed form for the oracle."""
+    from pygeoops_spark.geom import wkb_dumps, wkt_loads
+    from pygeoops_spark.operators.centerline import buffer_by_m_col
+    from pygeoops_spark.operators.difference import area_col
+
+    rows = []
+    for i in range(64):
+        x, y, r = float(i * 10), float((i * 3) % 50), float(1 + i % 7)
+        rows.append((i, wkb_dumps(wkt_loads(f"POINT M ({x} {y} {r})"))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["pt_id", "wkb"]))
+    return df.select(
+        "pt_id", F.round(area_col(buffer_by_m_col("wkb", quad_segs=8)), 6).alias("area")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -774,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": _q_ann_cosine,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
+        "buffer_point_area": _q_buffer_point_area,
     }
 
 
@@ -1092,6 +1113,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(sid) AS INT) AS n_sessions,
                    count(*) AS n_events
             FROM t GROUP BY user_id
+        """,
+        "minhash_lsh": f"""
+            -- exact jaccard >= 0.5 (banding recall is 100% here;
+            -- pinned by tests as subset + recall relation)
+            WITH {DOC_WORDS_CTE.strip()},
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(words) - 2, 1)),
+                       i -> array_to_string(words[i:i+2], ' '))) AS shingles
+              FROM w
+            ),
+            e AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+                     count(*) AS common
+              FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(common / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+            FROM pairs
+            WHERE common / CAST(na + nb - common AS DOUBLE) >= 0.5
+        """,
+        "media_features": """
+            SELECT i AS media_id,
+                   CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(5 + length(printf('%x', (i * 2654435761) % 2147483647)) AS BIGINT) AS n_bytes
+            FROM range(1000) t(i)
+        """,
+        "buffer_point_area": """
+            SELECT i AS pt_id,
+                   round(16 * CAST(1 + i % 7 AS DOUBLE) * CAST(1 + i % 7 AS DOUBLE)
+                         * sin(pi() / 16), 6) AS area
+            FROM range(64) t(i)
         """,
         "revenue_rollup": """
             SELECT n.n_name,
