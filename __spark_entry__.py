@@ -135,6 +135,30 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell rollup (tile-pyramid): counts at level 6 roll
+    up to 5 and 4 by integer parent-cell arithmetic — each level
+    aggregates the previous (no rescan of the points)."""
+    from pygeoops_spark.corpus.pages import order_points
+    from pygeoops_spark.join.cells import cell_id, parent_cell
+
+    pts = order_points(spark, sf_dir)
+    l6 = pts.groupBy(cell_id("x", "y", 6).alias("cell")).agg(
+        F.count("*").alias("n_points")
+    )
+    l5 = l6.groupBy(parent_cell("cell", 6).alias("cell")).agg(
+        F.sum("n_points").alias("n_points")
+    )
+    l4 = l5.groupBy(parent_cell("cell", 5).alias("cell")).agg(
+        F.sum("n_points").alias("n_points")
+    )
+    return (
+        l6.select(F.lit(6).alias("level"), "cell", "n_points")
+        .unionByName(l5.select(F.lit(5).alias("level"), "cell", "n_points"))
+        .unionByName(l4.select(F.lit(4).alias("level"), "cell", "n_points"))
+    )
+
+
 def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.corpus.pages import order_points, synth_zones
     from pygeoops_spark.join.pip import pip_join_rects
@@ -757,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_create": _q_grid_create,
         "grid_split": _q_grid_split,
         "tile_assign": _q_tile_assign,
+        "cell_pyramid": _q_cell_pyramid,
         "pip_join": _q_pip_join,
         "pip_join_poly": _q_pip_join_poly,
         "bbox_join": _q_bbox_join,
@@ -833,6 +858,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_points
             FROM pts
             GROUP BY 1, 2, 3
+        """,
+        "cell_pyramid": f"""
+            WITH {ORDER_PTS_CTE.strip()},
+            l6 AS (
+              SELECT greatest(0, least(63, CAST(floor(x / 16.0) AS BIGINT))) * 64
+                     + greatest(0, least(63, CAST(floor(y / 16.0) AS BIGINT))) AS cell,
+                     count(*) AS n_points
+              FROM pts GROUP BY 1
+            ),
+            l5 AS (
+              SELECT (cell // 64 // 2) * 32 + (cell % 64) // 2 AS cell,
+                     sum(n_points) AS n_points
+              FROM l6 GROUP BY 1
+            ),
+            l4 AS (
+              SELECT (cell // 32 // 2) * 16 + (cell % 32) // 2 AS cell,
+                     sum(n_points) AS n_points
+              FROM l5 GROUP BY 1
+            )
+            SELECT 6 AS level, cell, n_points FROM l6
+            UNION ALL SELECT 5, cell, n_points FROM l5
+            UNION ALL SELECT 4, cell, n_points FROM l4
         """,
         "pip_join": f"""
             WITH {ZONES_CTE.strip()}, {ORDER_PTS_CTE.strip()}

@@ -82,6 +82,18 @@ def ring_cells(x: Column | str, y: Column | str, level: int, radius: int) -> Col
     )
 
 
+def parent_cell(cell: Column | str, level: int) -> Column:
+    """Parent cell id one level up (row-major ids): halve both axes.
+    Pure integer arithmetic — the basis of pyramid rollups where each
+    level's aggregate derives from the previous (map-side combinable).
+    """
+    cell = F.col(cell) if isinstance(cell, str) else cell
+    n = 1 << level
+    ix = (cell / n).cast("long")
+    iy = cell % n
+    return (ix / 2).cast("long") * (n // 2) + (iy / 2).cast("long")
+
+
 def zorder_id(x: Column | str, y: Column | str, level: int) -> Column:
     """Morton/Z-order interleaved id (locality-preserving ordering for
     range-partitioned writes). Bit interleave via SQL shift/mask loop
