@@ -146,11 +146,14 @@ def _q_cell_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     l6 = pts.groupBy(cell_id("x", "y", 6).alias("cell")).agg(
         F.count("*").alias("n_points")
     )
+    # keep every level's count a plain BIGINT (the oracle casts its
+    # HUGEINT sums the same way; DECIMAL/HUGEINT must never reach the
+    # driver's value-hash layer — see VERDICT r01 "what's wrong" #1)
     l5 = l6.groupBy(parent_cell("cell", 6).alias("cell")).agg(
-        F.sum("n_points").alias("n_points")
+        F.sum("n_points").cast("long").alias("n_points")
     )
     l4 = l5.groupBy(parent_cell("cell", 5).alias("cell")).agg(
-        F.sum("n_points").alias("n_points")
+        F.sum("n_points").cast("long").alias("n_points")
     )
     return (
         l6.select(F.lit(6).alias("level"), "cell", "n_points")
@@ -482,14 +485,19 @@ def _q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily per-type event rollup (decimal sums for cross-engine
-    bit-exactness)."""
+    """Daily per-type event rollup. Sums run in decimal(20,6) for
+    order-independent cross-engine exactness, but the OUTPUT is scaled
+    to BIGINT micro-units: DuckDB's pandas fetch degrades HUGEINT and
+    DECIMAL to float64, which breaks the driver's value-hash parity
+    (VERDICT r01)."""
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return events.groupBy(
         F.to_date(F.col("ts")).alias("day"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(20,6)")).alias("total_value"),
+        (F.sum(F.col("value").cast("decimal(20,6)")) * F.lit(1000000))
+        .cast("long")
+        .alias("total_value_micros"),
     )
 
 
@@ -728,6 +736,8 @@ def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
            (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")))
+    # decimal arithmetic internally (order-independent), BIGINT 1e-4
+    # units out (DECIMAL breaks the driver's hash parity, VERDICT r01)
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(cust, orders["o_custkey"] == cust["c_custkey"])
@@ -735,7 +745,7 @@ def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_items"),
-            F.sum(rev).cast("decimal(24,4)").alias("revenue"),
+            (F.sum(rev) * F.lit(10000)).cast("long").alias("revenue_x1e4"),
         )
     )
 
@@ -868,13 +878,15 @@ def oracle_sql() -> dict[str, str]:
               FROM pts GROUP BY 1
             ),
             l5 AS (
+              -- CAST: DuckDB sum(BIGINT) is HUGEINT, which its pandas
+              -- path degrades to float64 and breaks hash parity
               SELECT (cell // 64 // 2) * 32 + (cell % 64) // 2 AS cell,
-                     sum(n_points) AS n_points
+                     CAST(sum(n_points) AS BIGINT) AS n_points
               FROM l6 GROUP BY 1
             ),
             l4 AS (
               SELECT (cell // 32 // 2) * 16 + (cell % 32) // 2 AS cell,
-                     sum(n_points) AS n_points
+                     CAST(sum(n_points) AS BIGINT) AS n_points
               FROM l5 GROUP BY 1
             )
             SELECT 6 AS level, cell, n_points FROM l6
@@ -1015,9 +1027,11 @@ def oracle_sql() -> dict[str, str]:
             FROM pts GROUP BY 1
         """,
         "events_rollup": """
+            -- BIGINT micro-units out; DECIMAL/HUGEINT never reach the
+            -- comparison layer (DuckDB pandas fetch would float64 them)
             SELECT CAST(ts AS DATE) AS day, event_type,
                    count(*) AS n_events,
-                   CAST(sum(CAST(value AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS total_value
+                   CAST(sum(CAST(value AS DECIMAL(20,6))) * 1000000 AS BIGINT) AS total_value_micros
             FROM events GROUP BY 1, 2
         """,
         "extract_text": r"""
@@ -1197,11 +1211,12 @@ def oracle_sql() -> dict[str, str]:
             FROM range(64) t(i)
         """,
         "revenue_rollup": """
+            -- BIGINT 1e-4 units out; DECIMAL never reaches the hash
             SELECT n.n_name,
                    count(*) AS n_items,
                    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
                             * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(3,2))))
-                        AS DECIMAL(24,4)) AS revenue
+                        * 10000 AS BIGINT) AS revenue_x1e4
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey

@@ -21,16 +21,19 @@ TABLES = (
 
 
 def norm_cell(v) -> str:
+    # STRICT canonicalization (matches the grading driver): plain str()
+    # per cell, no type coercion. In particular an integral float must
+    # hash as '5240.0', NOT '5240' — the r01 grader caught exactly that
+    # mismatch (DuckDB HUGEINT/DECIMAL -> float64) while the old
+    # forgiving normalizer here hid it. Queries must emit identical
+    # Python types on both engines (BIGINT/DOUBLE only — never
+    # HUGEINT/DECIMAL from DuckDB).
     import math
 
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
