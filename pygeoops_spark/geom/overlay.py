@@ -161,7 +161,11 @@ def _classify(edges: list[tuple[np.ndarray, np.ndarray]], poly: Geometry) -> np.
 def _stitch(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
     """Assemble directed edges into closed rings. At branching vertices
     pick the most counter-clockwise continuation (keeps minimal rings)."""
-    # dedupe identical directed edges; drop anti-parallel duplicates
+    # dedupe identical directed edges, then drop anti-parallel pairs
+    # entirely (BOTH members): an edge traversed in both directions is
+    # an interior seam between coincident boundaries — keeping either
+    # one forms a degenerate 2-edge ring in the max-turn walk and
+    # consumes an edge a real ring needed
     seen: dict[tuple, int] = {}
     uniq: list[tuple[np.ndarray, np.ndarray]] = []
     for a, b in edges:
@@ -170,7 +174,7 @@ def _stitch(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
             continue
         seen[k] = 1
         uniq.append((a, b))
-    edges = [e for e in uniq if (_key(e[1]), _key(e[0])) not in seen or True]
+    edges = [e for e in uniq if (_key(e[1]), _key(e[0])) not in seen]
 
     out_map: dict[tuple, list[int]] = defaultdict(list)
     for i, (a, b) in enumerate(edges):

@@ -62,6 +62,11 @@ def knn_join(
     )
     if not guarantee_exact:
         return ranked
+    if radius >= (1 << level):
+        # the ring already covers the whole grid: candidates were ALL
+        # targets, so `ranked` is exact (probes still short of k rows
+        # genuinely have fewer than k targets in existence)
+        return ranked
     # Exactness check: k-th distance must be <= the guaranteed covered
     # radius (radius * cell_size, the inradius of the ring box from the
     # probe's own cell). Probes failing it re-run with doubled radius.
@@ -70,6 +75,13 @@ def knn_join(
         F.max("dist").alias("_kth"), F.count("*").alias("_n")
     )
     bad = kth.where((F.col("_kth") > safe) | (F.col("_n") < k)).select(probe_key)
+    # probes whose initial ring held ZERO candidates never appear in
+    # `ranked`/`kth` at all — they are also inexact and must be
+    # re-queried at the doubled radius (ADVICE r01)
+    missing = probes.select(probe_key).join(
+        kth.select(probe_key), probe_key, "left_anti"
+    )
+    bad = bad.unionByName(missing)
     if bad.isEmpty():
         return ranked
     good = ranked.join(bad, probe_key, "left_anti")

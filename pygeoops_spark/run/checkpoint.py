@@ -69,8 +69,18 @@ def run_checkpointed(
         # re-reading the manifest we are about to append to
         done_key_vals = [r["part_key"] for r in done.select("part_key").collect()]
         skipped = len(done_key_vals)
+        # NULL keys need explicit handling: `~isin(...)` evaluates to
+        # NULL (filtered out) for NULL-keyed rows, which would silently
+        # drop the NULL partition on every resume (ADVICE r01)
+        non_null_done = [v for v in done_key_vals if v is not None]
+        null_done = len(non_null_done) < len(done_key_vals)
+        keep = F.lit(True)
+        if non_null_done:
+            keep = ~F.col(part_col).isin(non_null_done) | F.col(part_col).isNull()
+        if null_done:
+            keep = keep & F.col(part_col).isNotNull()
         if done_key_vals:
-            todo = df.where(~F.col(part_col).isin(done_key_vals))
+            todo = df.where(keep)
     t0 = time.time()
     todo = todo.cache()
     # per-partition lineage in the same pass as the write: rows + checksum
@@ -98,12 +108,24 @@ def run_checkpointed(
         .parquet(data_path(base))
     )
     wall_ms = int((time.time() - t0) * 1000)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # part_key takes the partition column's own type (string keys are as
+    # common as numeric ones; a hardcoded LONG breaks them)
+    manifest_schema = StructType(
+        [
+            StructField("part_key", df.schema[part_col].dataType, True),
+            StructField("rows_out", LongType(), True),
+            StructField("checksum", LongType(), True),
+            StructField("wall_ms", LongType(), True),
+        ]
+    )
     manifest = spark.createDataFrame(
         [
             (r["part_key"], r["rows_out"], r["checksum"], wall_ms)
             for r in stats_rows
         ],
-        "part_key long, rows_out long, checksum long, wall_ms long",
+        manifest_schema,
     ).withColumn("finished_ts", F.current_timestamp())
     manifest.write.mode("append").parquet(manifest_path(base))
     rows_out = sum(r["rows_out"] for r in stats_rows)

@@ -70,3 +70,39 @@ def test_checkpoint_partial_resume(spark):
         assert spark.read.parquet(data_path(base)).count() == 1000
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_checkpoint_null_partition_key_resume(spark):
+    """NULL-keyed rows must survive resume: `~isin(done)` is NULL for a
+    NULL key, which used to silently drop the NULL partition on every
+    resume after a first run that only wrote other partitions
+    (ADVICE r01)."""
+    import pandas as pd
+
+    from pygeoops_spark.run.checkpoint import data_path, run_checkpointed
+
+    base = tempfile.mkdtemp(prefix="ckpt_null_")
+    try:
+        df_a = spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "a", "b"], "v": [1, 2, 3]})
+        )
+        s1 = run_checkpointed(spark, df_a, base, "k")
+        assert s1["rows_out"] == 3
+
+        # resume with an extra NULL-keyed partition present
+        df_b = spark.createDataFrame(
+            pd.DataFrame({"k": ["a", "a", "b", None, None], "v": [1, 2, 3, 4, 5]})
+        )
+        s2 = run_checkpointed(spark, df_b, base, "k")
+        assert s2["skipped"] == 2          # a, b already done
+        assert s2["rows_out"] == 2         # the NULL rows are written
+        out = spark.read.parquet(data_path(base))
+        assert out.count() == 5
+        assert out.where(F.col("k").isNull()).count() == 2
+
+        # third run: NULL partition now in the manifest -> nothing to do
+        s3 = run_checkpointed(spark, df_b, base, "k")
+        assert s3["written"] == 0
+        assert s3["skipped"] == 3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

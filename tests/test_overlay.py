@@ -151,3 +151,35 @@ def test_difference_all_tiled_complex():
     assert base is not None and tiled is not None
     assert polygon_area(tiled) == pytest.approx(polygon_area(base), rel=1e-9)
     assert polygon_area(tiled) < polygon_area(comb)
+
+
+# -- stitch anti-parallel filter (ADVICE r01: dead `or True` made the
+# filter a no-op; both members of a reversed duplicate pair must go) --
+def test_stitch_drops_anti_parallel_duplicate_pair():
+    from pygeoops_spark.geom.overlay import _stitch
+
+    sq = [
+        (np.array([0.0, 0.0]), np.array([1.0, 0.0])),
+        (np.array([1.0, 0.0]), np.array([1.0, 1.0])),
+        (np.array([1.0, 1.0]), np.array([0.0, 1.0])),
+        (np.array([0.0, 1.0]), np.array([0.0, 0.0])),
+    ]
+    # inject an interior seam traversed both ways from the (0,0) corner
+    seam = [
+        (np.array([0.0, 0.0]), np.array([0.5, 0.5])),
+        (np.array([0.5, 0.5]), np.array([0.0, 0.0])),
+    ]
+    rings = _stitch(sq + seam)
+    assert len(rings) == 1
+    ring = rings[0]
+    # the square survives intact; the seam vertex never appears
+    assert len(ring) == 5
+    assert not any(abs(p[0] - 0.5) < 1e-9 and abs(p[1] - 0.5) < 1e-9 for p in ring)
+
+
+def test_union_shared_edge_squares_still_merges():
+    # two squares sharing a full edge: union is one 2x1 rectangle (the
+    # shared edge is an anti-parallel pair in the stitch input)
+    u = polygon_union([box(0, 0, 1, 1), box(1, 0, 2, 1)])
+    assert polygon_area(u) == pytest.approx(2.0)
+    assert u.geom_type == "POLYGON"

@@ -218,3 +218,32 @@ def test_zorder_id_matches_python_reference(spark):
         ix = min(max(int(r["x"] // s), 0), n - 1)
         iy = min(max(int(r["y"] // s), 0), n - 1)
         assert r["z"] == interleave(ix, iy)
+
+
+def test_knn_exact_for_probe_with_empty_initial_ring(spark):
+    """A probe whose initial ring holds ZERO candidates must still get
+    its k neighbors via radius doubling (ADVICE r01: such probes
+    produced no `ranked` rows, so the retry predicate never saw them)."""
+    import pandas as pd
+
+    from pygeoops_spark.join.knn import knn_join, knn_join_bruteforce
+
+    # targets clustered far away from the probe: probe at (10,10) has no
+    # target within radius-1 rings of its level-5 cell (cell size ~32)
+    probes = spark.createDataFrame(pd.DataFrame({"pid": [0], "x": [10.0], "y": [10.0]}))
+    targets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "tid": list(range(5)),
+                "x": [900.0, 910.0, 920.0, 930.0, 940.0],
+                "y": [900.0, 910.0, 920.0, 930.0, 940.0],
+            }
+        )
+    )
+    got = knn_join(
+        probes, targets, "pid", "tid", k=3, level=5, radius=1, guarantee_exact=True
+    ).select("pid", "tid_nn", "knn_rank")
+    want = knn_join_bruteforce(probes, targets, "pid", "tid", k=3).select(
+        "pid", "tid_nn", "knn_rank"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
