@@ -80,3 +80,27 @@ def test_simplify_polygon_island_lang():
     out = simplify(poly, 1, algorithm="lang")
     assert len(out.data[0]) == 5
     assert len(out.data) == 2
+
+
+def test_lang_kept_indices_on_densified_rectangle():
+    """Pins the analytic derivation behind the simplify_lang driver
+    oracle: 25 collinear points per edge, lookahead 8 -> keys advance
+    +8,+16,+24 per edge, then the corner breaks the window. Kept
+    indices are exactly {0,8,16,24,25,...,99,100} (17 coords)."""
+    import numpy as np
+
+    from pygeoops_spark.geom.simplify import lang_idx
+
+    corners = [(0.0, 0.0), (123.5, 0.0), (123.5, 117.0), (0.0, 117.0)]
+    ring = []
+    for (x0, y0), (x1, y1) in zip(corners, corners[1:] + corners[:1]):
+        for t in np.linspace(0, 1, 26)[:-1]:
+            ring.append((x0 + (x1 - x0) * t, y0 + (y1 - y0) * t))
+    arr = np.array(ring + [ring[0]])
+    idx = list(lang_idx(arr, 0.1, lookahead=8))
+    expected = sorted(
+        [0, 100]
+        + [c + s for c in (0, 25, 50, 75) for s in (8, 16, 24)]
+        + [25, 50, 75]
+    )
+    assert idx == expected

@@ -117,3 +117,112 @@ def test_media_features(spark):
     plan = frame_sample_plan(media, every_ms=10000)
     assert plan.count() > 0
     assert plan.where(F.col("frame_ts_ms") % 10000 != 0).count() == 0
+
+
+def test_ann_bruteforce_query_cap(emb):
+    """The driver-side query collect is guarded: exceeding
+    max_query_rows raises instead of OOMing the driver (VERDICT r01)."""
+    import pytest as _pytest
+
+    from pygeoops_spark.ann.cosine import cosine_topk_bruteforce
+
+    with _pytest.raises(ValueError, match="max_query_rows"):
+        cosine_topk_bruteforce(emb, emb, k=2, max_query_rows=10)
+
+
+def test_ann_ivf_centroids_deterministic_and_assignments_cover(emb):
+    """k-means centroids come from a deterministic hash sample: two
+    trainings agree exactly, and every target is assigned exactly one
+    cell in [0, n_cells)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pygeoops_spark.ann.cosine import _cells_udf, _train_centroids
+
+    c1 = _train_centroids(emb, "vec_id", "embedding", 8)
+    c2 = _train_centroids(emb, "vec_id", "embedding", 8)
+    assert np.array_equal(c1, c2)
+    cells = emb.select(
+        _cells_udf(c1, 1)(F.col("embedding"))[0].alias("cell")
+    )
+    bad = cells.where((F.col("cell") < 0) | (F.col("cell") >= 8)).count()
+    assert bad == 0
+    n_cells_used = cells.distinct().count()
+    assert n_cells_used >= 4  # representative spread, not one mega-cell
+
+
+def test_jaccard_prefix_filter_prunes_stop_shingles(spark):
+    """VERDICT r01: a stop-shingle with high df must not generate df^2
+    candidates. 40 docs share one template trigram (df=40) but are
+    otherwise unique; the stop shingle sorts last in the rarest-first
+    order and falls outside every prefix, so candidate pairs collapse
+    from C(40,2)=780 to just the genuinely similar ones — with output
+    still exactly matching brute force."""
+    import itertools
+
+    import pandas as pd
+
+    from pygeoops_spark.text.dedup import _jaccard_candidates, jaccard_pairs
+
+    rows = []
+    for i in range(40):
+        uniq = " ".join(f"w{i}x{j}" for j in range(8))
+        rows.append((i, f"{uniq} the quick fox"))
+    # two true near-dups (identical text)
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta"))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    cands = _jaccard_candidates(docs, "doc_id", "text", 3, 0.5).count()
+    assert cands < 78  # << C(42,2); the df=40 shingle is never indexed
+
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+
+    # brute force in python
+    def shingles(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))}
+
+    want = set()
+    by_id = {i: shingles(t) for i, t in rows}
+    for a, b in itertools.combinations(sorted(by_id), 2):
+        inter = len(by_id[a] & by_id[b])
+        jac = inter / len(by_id[a] | by_id[b])
+        if jac >= 0.5:
+            want.add((a, b, round(jac, 6)))
+    assert got == want
+    assert (100, 101, 1.0) in got
+
+
+def test_connected_components_alternating_star(spark):
+    """Alternating large-star/small-star CC vs python union-find on a
+    mixed graph: a 30-node chain (diameter 29 — the shape that killed
+    the r01 O(diameter) propagation), a triangle, an isolated edge."""
+    import pandas as pd
+
+    from pygeoops_spark.text.pipeline import connected_components
+
+    edges = [(i, i + 1) for i in range(100, 130)]          # chain
+    edges += [(200, 201), (201, 202), (200, 202)]          # triangle
+    edges += [(300, 301)]                                  # lone edge
+    pairs = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {(r["node"], r["component"]) for r in connected_components(pairs).collect()}
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in edges:
+        union(a, b)
+    want = {(n, find(n)) for n in parent}
+    assert got == want
