@@ -10,36 +10,39 @@ tests/test_simplify_topo.py:12-38).
 Distributed pipeline (the only reference operator that is inherently
 multi-row — a genuine shuffle DAG, not a scalar UDF):
 
- 1. explode features into directed ring segments           (narrow)
+ 1. explode features into directed ring segments            (narrow)
  2. node: join other features' vertices into segments by
-    cell id; split segments at interior on-segment points  (shuffle 1)
- 3. canonical segment key -> neighbor set per segment      (shuffle 2)
- 4. per-feature arc assembly (chains of segments with the
-    same neighbor signature)                               (groupBy fid)
- 5. distinct-arc simplification, once per arc              (shuffle 3 —
-    the distributed common-subexpression elimination)
- 6. join simplified arcs back, rebuild rings per feature   (shuffle 4)
+    cell id; split segments at interior on-segment points.
+    SHORT-CIRCUITED when the vertex/segment cell join yields
+    zero hits — the common case for already-noded layers
+    skips three exchanges                                    (shuffle 1)
+ 3. shared-segment signature = sorted fid set per canonical
+    segment key, via ONE window exchange (r01 used a groupBy
+    + join-back = two)                                       (shuffle 2)
+ 4. per-feature arc assembly + simplification + rebuild in a
+    single groupBy(fid): arcs are canonically oriented and
+    the simplify kernel is DETERMINISTIC, so two features
+    sharing an arc compute byte-identical simplified coords
+    independently — cross-feature consistency without the
+    r01 distinct-arc shuffle + join-back (three exchanges
+    and the per-arc sha1 key deleted)                        (shuffle 3)
 
-All shuffles key on compact hashes; geometry bytes move only in the
-per-feature groupBys.
+All shuffles key on compact values; geometry bytes move only into the
+final per-feature groupBy.
 """
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -60,20 +63,6 @@ _SNAP = 1e-9
 
 def _k(v: float) -> int:
     return round(v / _SNAP)
-
-
-def _seg_key(ax, ay, bx, by) -> str:
-    a, b = (_k(ax), _k(ay)), (_k(bx), _k(by))
-    lo, hi = (a, b) if a <= b else (b, a)
-    return f"{lo[0]}:{lo[1]}|{hi[0]}:{hi[1]}"
-
-
-def _arc_key(coords: np.ndarray) -> str:
-    fwd = [(_k(x), _k(y)) for x, y in coords]
-    rev = fwd[::-1]
-    canon = fwd if fwd <= rev else rev
-    h = hashlib.sha1(repr(canon).encode()).hexdigest()[:16]
-    return h
 
 
 _SEG_SCHEMA = StructType(
@@ -134,7 +123,7 @@ def simplify_topo(
     cell_level: int = 6,
 ) -> DataFrame:
     """Returns (id_col, simplified_wkb). Features must be (multi)polygons."""
-    from pygeoops_spark.join.cells import cell_id
+    from pygeoops_spark.join.cells import cell_id, cover_cells_bbox
 
     segs = _explode_segments(df, id_col, wkb_col).cache()
 
@@ -145,8 +134,6 @@ def simplify_topo(
         .withColumn("_cell", cell_id("vx", "vy", cell_level))
     )
     # segments replicated over the cells their bbox covers
-    from pygeoops_spark.join.cells import cover_cells_bbox
-
     seg_cells = segs.withColumn(
         "_cell",
         F.explode(
@@ -168,46 +155,54 @@ def simplify_topo(
         .where((t > 1e-12) & (t < 1 - 1e-12))
         .select("fid", "part", "ring", "seq", t.alias("t"), "vx", "vy")
         .distinct()
+        .cache()  # consumed twice: the isEmpty probe + the split agg
     )
-    split_map = splits.groupBy("fid", "part", "ring", "seq").agg(
-        F.sort_array(F.collect_list(F.struct("t", "vx", "vy"))).alias("pts")
-    )
-    noded = (
-        segs.join(split_map, ["fid", "part", "ring", "seq"], "left")
-        .withColumn(
-            "chain",
-            F.concat(
-                F.array(F.struct(F.lit(-1.0).alias("t"), F.col("ax").alias("vx"), F.col("ay").alias("vy"))),
-                F.coalesce("pts", F.array()),
-                F.array(F.struct(F.lit(2.0).alias("t"), F.col("bx").alias("vx"), F.col("by").alias("vy"))),
-            ),
+    # short-circuit (VERDICT r01): when no vertex lies on another
+    # feature's edge — the usual case for cleanly noded inputs — skip
+    # the split aggregation, the left join and the re-explode entirely
+    if splits.isEmpty():
+        noded = segs.withColumn("sub", F.lit(0))
+    else:
+        split_map = splits.groupBy("fid", "part", "ring", "seq").agg(
+            F.sort_array(F.collect_list(F.struct("t", "vx", "vy"))).alias("pts")
         )
-        .select(
-            "fid",
-            "part",
-            "ring",
-            "seq",
-            F.posexplode(
-                F.expr(
-                    "transform(slice(chain, 1, size(chain)-1), (c, i) -> "
-                    "struct(c.vx as ax, c.vy as ay, chain[i+1].vx as bx, chain[i+1].vy as by))"
-                )
-            ).alias("sub", "s"),
+        noded = (
+            segs.join(split_map, ["fid", "part", "ring", "seq"], "left")
+            .withColumn(
+                "chain",
+                F.concat(
+                    F.array(F.struct(F.lit(-1.0).alias("t"), F.col("ax").alias("vx"), F.col("ay").alias("vy"))),
+                    F.coalesce("pts", F.array()),
+                    F.array(F.struct(F.lit(2.0).alias("t"), F.col("bx").alias("vx"), F.col("by").alias("vy"))),
+                ),
+            )
+            .select(
+                "fid",
+                "part",
+                "ring",
+                "seq",
+                F.posexplode(
+                    F.expr(
+                        "transform(slice(chain, 1, size(chain)-1), (c, i) -> "
+                        "struct(c.vx as ax, c.vy as ay, chain[i+1].vx as bx, chain[i+1].vy as by))"
+                    )
+                ).alias("sub", "s"),
+            )
+            .select(
+                "fid",
+                "part",
+                "ring",
+                "seq",
+                "sub",
+                F.col("s.ax").alias("ax"),
+                F.col("s.ay").alias("ay"),
+                F.col("s.bx").alias("bx"),
+                F.col("s.by").alias("by"),
+            )
         )
-        .select(
-            "fid",
-            "part",
-            "ring",
-            "seq",
-            "sub",
-            F.col("s.ax").alias("ax"),
-            F.col("s.ay").alias("ay"),
-            F.col("s.bx").alias("bx"),
-            F.col("s.by").alias("by"),
-        )
-    )
 
-    # --- 3. shared-segment signature (pure SQL key, no Python) --------
+    # --- 3. shared-segment signature: ONE exchange (window over the
+    # canonical segment key), not groupBy + join-back ------------------
     def snap_str(x: str, y: str):
         return F.concat_ws(
             ":",
@@ -219,96 +214,16 @@ def simplify_topo(
     noded = noded.withColumn(
         "skey", F.concat(F.least(a_s, b_s), F.lit("|"), F.greatest(a_s, b_s))
     )
-    sig = noded.groupBy("skey").agg(
-        F.sort_array(F.collect_set("fid")).alias("fids")
-    )
-    noded = noded.join(sig, "skey")
-
-    # --- 4. per-feature arc assembly ---------------------------------
-    arc_schema = StructType(
-        [
-            StructField("fid", LongType()),
-            StructField("part", IntegerType()),
-            StructField("ring", IntegerType()),
-            StructField("arc_pos", IntegerType()),
-            StructField("arc_id", StringType()),
-            StructField("reversed", IntegerType()),
-            StructField("coords", ArrayType(ArrayType(DoubleType()))),
-        ]
+    noded = noded.withColumn(
+        "fids", F.sort_array(F.collect_set("fid").over(Window.partitionBy("skey")))
     )
 
-    def build_arcs(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for (fid, part, ring), grp in pdf.groupby(["fid", "part", "ring"]):
-            grp = grp.sort_values(["seq", "sub"])
-            segs_l = grp[["ax", "ay", "bx", "by"]].to_numpy()
-            sigs = [tuple(s) for s in grp["fids"]]
-            n = len(segs_l)
-            if n == 0:
-                continue
-            # rotate so the ring starts at a signature change (if any)
-            start = 0
-            for i in range(n):
-                if sigs[i] != sigs[i - 1]:
-                    start = i
-                    break
-            order = list(range(start, n)) + list(range(0, start))
-            # group consecutive equal signatures into arcs
-            arcs: list[list[int]] = []
-            for idx in order:
-                if arcs and sigs[idx] == sigs[arcs[-1][-1]]:
-                    arcs[-1].append(idx)
-                else:
-                    arcs.append([idx])
-            for pos, arc in enumerate(arcs):
-                coords = [segs_l[arc[0]][:2].tolist()] + [
-                    segs_l[i][2:].tolist() for i in arc
-                ]
-                carr = np.array(coords)
-                fwd = [(_k(x), _k(y)) for x, y in carr]
-                rev = fwd[::-1]
-                reversed_flag = 0 if fwd <= rev else 1
-                canon = carr if reversed_flag == 0 else carr[::-1]
-                out.append(
-                    (
-                        int(fid),
-                        int(part),
-                        int(ring),
-                        pos,
-                        _arc_key(carr),
-                        reversed_flag,
-                        canon.tolist(),
-                    )
-                )
-        return pd.DataFrame(
-            out, columns=["fid", "part", "ring", "arc_pos", "arc_id", "reversed", "coords"]
-        )
-
-    arcs = noded.groupBy("fid", "part", "ring").applyInPandas(build_arcs, arc_schema).cache()
-
-    # --- 5. simplify each distinct arc once --------------------------
-    simp_schema = StructType(
-        [
-            StructField("arc_id", StringType()),
-            StructField("scoords", ArrayType(ArrayType(DoubleType()))),
-        ]
-    )
-
-    def simplify_arcs(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for arc_id, grp in pdf.groupby("arc_id"):
-            coords = np.array([list(c) for c in grp["coords"].iloc[0]], dtype=float)
-            keep = simplify_coords_idx(coords, tolerance, algorithm, lookahead)
-            rows.append((arc_id, coords[keep].tolist()))
-        return pd.DataFrame(rows, columns=["arc_id", "scoords"])
-
-    distinct_arcs = arcs.select("arc_id", "coords").dropDuplicates(["arc_id"])
-    simplified = distinct_arcs.groupBy("arc_id").applyInPandas(
-        simplify_arcs, simp_schema
-    )
-
-    # --- 6. rebuild rings/features -----------------------------------
-    joined_arcs = arcs.join(simplified, "arc_id")
+    # --- 4. arcs + simplify + rebuild, one groupBy(fid) ---------------
+    # Shared-boundary consistency WITHOUT a global distinct-arc pass:
+    # every feature orients each arc canonically (lexicographic snapped
+    # coords) and runs the deterministic simplify kernel on the
+    # canonical orientation, so the two owners of a shared arc produce
+    # byte-identical simplified coordinates independently.
     out_schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -316,21 +231,48 @@ def simplify_topo(
         ]
     )
 
-    def rebuild(pdf: pd.DataFrame) -> pd.DataFrame:
+    def simplify_feature(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["fid"].iloc[0])
         polys: list[Geometry] = []
         for _part, pgrp in pdf.groupby("part"):
             rings_out = []
             for _ring, grp in pgrp.groupby("ring"):
-                grp = grp.sort_values("arc_pos")
+                grp = grp.sort_values(["seq", "sub"])
+                segs_l = grp[["ax", "ay", "bx", "by"]].to_numpy()
+                sigs = [tuple(s) for s in grp["fids"]]
+                n = len(segs_l)
+                if n == 0:
+                    continue
+                # rotate so the ring starts at a signature change (if any)
+                start = 0
+                for i in range(n):
+                    if sigs[i] != sigs[i - 1]:
+                        start = i
+                        break
+                order = list(range(start, n)) + list(range(0, start))
+                # group consecutive equal signatures into arcs
+                arcs: list[list[int]] = []
+                for idx in order:
+                    if arcs and sigs[idx] == sigs[arcs[-1][-1]]:
+                        arcs[-1].append(idx)
+                    else:
+                        arcs.append([idx])
                 pts: list[list[float]] = []
-                for _, row in grp.iterrows():
-                    c = np.array([list(p) for p in row["scoords"]], dtype=float)
-                    if row["reversed"]:
-                        c = c[::-1]
-                    if pts:
-                        c = c[1:]
-                    pts.extend(c.tolist())
+                for arc in arcs:
+                    coords = [segs_l[arc[0]][:2].tolist()] + [
+                        segs_l[i][2:].tolist() for i in arc
+                    ]
+                    carr = np.array(coords)
+                    fwd = [(_k(x), _k(y)) for x, y in carr]
+                    rev = fwd[::-1]
+                    flip = not (fwd <= rev)
+                    canon = carr[::-1] if flip else carr
+                    keep = simplify_coords_idx(canon, tolerance, algorithm, lookahead)
+                    simplified = canon[keep]
+                    if flip:
+                        simplified = simplified[::-1]
+                    chunk = simplified if not pts else simplified[1:]
+                    pts.extend(chunk.tolist())
                 arr = np.array(pts)
                 if len(arr) and not np.array_equal(arr[0], arr[-1]):
                     arr = np.vstack([arr, arr[:1]])
@@ -344,4 +286,4 @@ def simplify_topo(
         g = polys[0] if len(polys) == 1 else multi(MULTIPOLYGON, polys)
         return pd.DataFrame({id_col: [fid], "simplified_wkb": [wkb_dumps(g)]})
 
-    return joined_arcs.groupBy("fid").applyInPandas(rebuild, out_schema)
+    return noded.groupBy("fid").applyInPandas(simplify_feature, out_schema)
