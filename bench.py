@@ -83,10 +83,11 @@ def _run_centerline(spark, n_polys: int) -> int:
     return n_polys
 
 
-def _run_simplify_50k(spark, n_polys: int = 50_000) -> int:
-    """Reference-comparable workload: simplify rdp over n densified
+def _run_simplify_50k(spark, n_polys: int = 50_000, algorithm: str = "rdp") -> int:
+    """Reference-comparable workload: simplify over n densified
     (101-coord) polygons — mirrors the reference benchmark's 50k
-    Flanders parcels (benchmark_results.csv: 7.3 s single-thread)."""
+    Flanders parcels (benchmark_results.csv: rdp 7.3 s, lang 12.8 s,
+    lang+ 22.1 s single-thread)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType
 
@@ -112,10 +113,41 @@ def _run_simplify_50k(spark, n_polys: int = 50_000) -> int:
         return pd.Series(out)
 
     df = spark.range(n_polys).select(dense_poly("id").alias("wkb"))
-    df.select(simplify_col("wkb", 1.0, "rdp").alias("s")).where(
+    df.select(simplify_col("wkb", 1.0, algorithm, lookahead=8).alias("s")).where(
         F.col("s").isNotNull()
     ).count()
     return n_polys
+
+
+def _run_buffer_20k(spark, n_lines: int = 20_000) -> int:
+    """Reference-comparable workload: buffer_by_m over n 7-vertex
+    M-lines with per-vertex radii (mirrors the reference benchmark's
+    20k 7-vertex Z-lines, quad_segs=8: benchmark_results.csv:10 —
+    20.31 s single-thread ~= 985 geoms/s)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from pygeoops_spark.operators.centerline import buffer_by_m_col
+
+    @F.pandas_udf(BinaryType())
+    def mline(ids: pd.Series) -> pd.Series:
+        from pygeoops_spark.geom import wkb_dumps, wkt_loads
+
+        out = []
+        for i in ids:
+            i = int(i)
+            x0 = (i % 512) * 300.0
+            y0 = (i // 512 % 512) * 300.0
+            pts = ", ".join(
+                f"{x0 + v * 20} {y0 + (v % 2) * 10} {1.0 + (i + v) % 5}"
+                for v in range(7)
+            )
+            out.append(wkb_dumps(wkt_loads(f"LINESTRING M ({pts})")))
+        return pd.Series(out)
+
+    df = spark.range(n_lines).select(mline("id").alias("wkb"))
+    df.select(buffer_by_m_col("wkb").alias("b")).where(F.col("b").isNotNull()).count()
+    return n_lines
 
 
 def _run_flagship(spark, n_pages: int) -> int:
@@ -218,12 +250,31 @@ def main() -> None:
     results["flagship_pip_tile"] = round(dt, 3)
     throughput["flagship_docs_per_sec"] = round(n_docs / dt, 1)
 
-    # reference-comparable simplify workload (50k polygons)
+    # reference-comparable kernel workloads (BASELINE.md table):
+    # simplify rdp/lang/lang+ over 50k densified polygons, buffer_by_m
+    # over 20k 7-vertex M-lines, centerline over elongated rectangles
+    kern_scale = float(os.environ.get("SPARK_GRAFT_BENCH_GEOM_SCALE", "1.0"))
+    n50 = max(int(50_000 * kern_scale), 1000)
+    for alg, label in (("rdp", "simplify_50k"), ("lang", "simplify_lang_50k"), ("lang+", "simplify_langplus_50k")):
+        t0 = time.time()
+        n_s = _run_simplify_50k(spark, n50, alg)
+        dt = time.time() - t0
+        results[label] = round(dt, 3)
+        throughput[label.replace("_50k", "") + "_geoms_per_sec"] = round(n_s / dt, 1)
+
     t0 = time.time()
-    n_s = _run_simplify_50k(spark)
+    n_b = _run_buffer_20k(spark, max(int(20_000 * kern_scale), 1000))
     dt = time.time() - t0
-    results["simplify_50k"] = round(dt, 3)
-    throughput["simplify_geoms_per_sec"] = round(n_s / dt, 1)
+    results["buffer_by_m_20k"] = round(dt, 3)
+    throughput["buffer_geoms_per_sec"] = round(n_b / dt, 1)
+
+    t0 = time.time()
+    n_c = max(int(8_000 * kern_scale), 500)
+    _run_centerline(spark, n_c)
+    dt = time.time() - t0
+    results["centerline_8k"] = round(dt, 3)
+    throughput["centerline_ops_per_sec"] = round(n_c / dt, 1)
+
     total = time.time() - t_total0
     spark.stop()
 

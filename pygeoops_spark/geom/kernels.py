@@ -293,10 +293,18 @@ def convex_hull_coords(coords: np.ndarray) -> np.ndarray:
         return pts
     # lexicographic sort is given by np.unique
     def half(points):
+        # scalar 2D cross — np.cross pays moveaxis overhead per call
+        # (profiled 40% of buffer_by_m's kernel time)
         out: list[np.ndarray] = []
         for pt in points:
-            while len(out) >= 2 and np.cross(out[-1] - out[-2], pt - out[-2]) <= 0:
-                out.pop()
+            px, py = pt[0], pt[1]
+            while len(out) >= 2:
+                bx_, by_ = out[-1][0], out[-1][1]
+                ox, oy = out[-2][0], out[-2][1]
+                if (bx_ - ox) * (py - oy) - (by_ - oy) * (px - ox) <= 0:
+                    out.pop()
+                else:
+                    break
             out.append(pt)
         return out
 

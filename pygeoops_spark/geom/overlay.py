@@ -144,17 +144,30 @@ def _classify(edges: list[tuple[np.ndarray, np.ndarray]], poly: Geometry) -> np.
         return np.empty(0, dtype=int)
     mids = np.array([(a + b) / 2 for a, b in edges])
     res = np.where(points_in_polygon(mids[:, 0], mids[:, 1], poly), 1, -1)
-    # boundary test: midpoint within SNAP of any boundary segment
+    # boundary test: midpoint within SNAP of any boundary segment —
+    # one broadcast distance matrix per segment block (a per-segment
+    # python loop was the profiled hot spot), blocked so memory stays
+    # bounded for very large polygons
     from pygeoops_spark.geom.kernels import point_segment_distance
 
+    seg_arrays = []
     for part in get_parts(poly):
         for ring in part.data:
             arr = np.asarray(ring, dtype=float)
-            for i in range(len(arr) - 1):
-                d = point_segment_distance(
-                    mids[:, 0], mids[:, 1], arr[i, 0], arr[i, 1], arr[i + 1, 0], arr[i + 1, 1]
-                )
-                res = np.where(d <= SNAP * 10, 0, res)
+            if len(arr) >= 2:
+                seg_arrays.append(np.hstack([arr[:-1], arr[1:]]))
+    if seg_arrays:
+        segs = np.vstack(seg_arrays)
+        px, py = mids[:, 0][:, None], mids[:, 1][:, None]
+        block = max(int(4_000_000 / max(len(mids), 1)), 16)
+        min_d = np.full(len(mids), np.inf)
+        for s0 in range(0, len(segs), block):
+            sb = segs[s0 : s0 + block]
+            d = point_segment_distance(
+                px, py, sb[None, :, 0], sb[None, :, 1], sb[None, :, 2], sb[None, :, 3]
+            )
+            min_d = np.minimum(min_d, d.min(axis=1))
+        res = np.where(min_d <= SNAP * 10, 0, res)
     return res
 
 
@@ -334,18 +347,29 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
     if len(flat) == 1:
         return flat[0]
     per_poly_edges = [_poly_edges(p) for p in flat]
+    # bbox prefilter (exact): a polygon whose bbox is disjoint from
+    # polygon i's bbox can neither cut i's edges nor contain any of
+    # them — skip both the noding input and the classify pass. Turns
+    # the O(n^2) classify loop into O(n * overlapping) — e.g. a buffer
+    # chain of k hulls does ~3k classifies instead of k^2.
+    boxes = []
+    for p in flat:
+        arr = np.asarray(p.data[0], dtype=float)
+        boxes.append((arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max()))
+
+    def _bbox_overlap(a, b):
+        return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
     keep: list[tuple[np.ndarray, np.ndarray]] = []
     directed_count: dict[tuple, int] = defaultdict(int)
     candidates: list[tuple[np.ndarray, np.ndarray]] = []
     for i, p in enumerate(flat):
-        others = [per_poly_edges[j] for j in range(len(flat)) if j != i]
-        noded = _node_edges(per_poly_edges[i], others)
+        near = [j for j in range(len(flat)) if j != i and _bbox_overlap(boxes[i], boxes[j])]
+        noded = _node_edges(per_poly_edges[i], [per_poly_edges[j] for j in near])
         inside_any = np.zeros(len(noded), dtype=bool)
         onb_any = np.zeros(len(noded), dtype=bool)
-        for j, q in enumerate(flat):
-            if j == i:
-                continue
-            c = _classify(noded, q)
+        for j in near:
+            c = _classify(noded, flat[j])
             inside_any |= c == 1
             onb_any |= c == 0
         for k, (p1, p2) in enumerate(noded):
