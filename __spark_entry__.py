@@ -838,6 +838,42 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select("media_id", "kind", "n_bytes")
 
 
+def _q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic (great-circle spherical) polygon area on pole triangles
+    — Girard closed form: a triangle with two vertices on the equator
+    separated by dl degrees and one at the north pole has both base
+    angles pi/2 and apex angle dl, so its spherical excess (= unit-
+    sphere area) is exactly radians(dl). Exercises the geographic-CRS
+    area kernel behind remove_inner_rings(crs_geographic=True)
+    (reference _general.py:530-537)."""
+    import pandas as pdl
+
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.geom.kernels import ring_area_geodesic
+    from pygeoops_spark.geom.wkb import get_coordinates, wkb_loads
+    from pyspark.sql.types import DoubleType
+
+    rows = []
+    for i in range(64):
+        dl = 1.0 + (i * 7) % 50
+        lon0 = float((i * 11) % 300 - 150)
+        tri = mk_poly([(lon0, 0.0), (lon0 + dl, 0.0), (lon0, 90.0)])
+        rows.append((i, wkb_dumps(tri)))
+    df = spark.createDataFrame(pdl.DataFrame(rows, columns=["tri_id", "wkb"]))
+
+    @F.pandas_udf(DoubleType())
+    def area_sr(wkbs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for b in wkbs:
+            g = wkb_loads(bytes(b))
+            out.append(ring_area_geodesic(np.asarray(g.data[0]), radius=1.0))
+        return pd.Series(out)
+
+    return df.select("tri_id", F.round(area_sr("wkb"), 9).alias("area_sr"))
+
+
 def _q_buffer_point_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     """buffer_by_m on single M-points: the buffer is a regular 32-gon,
     area = 16 r^2 sin(pi/16) — exact closed form for the oracle."""
@@ -899,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
         "buffer_point_area": _q_buffer_point_area,
+        "geodesic_area": _q_geodesic_area,
     }
 
 
@@ -1328,6 +1365,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                    CAST(5 + length(printf('%x', (i * 2654435761) % 2147483647)) AS BIGINT) AS n_bytes
             FROM range(1000) t(i)
+        """,
+        "geodesic_area": """
+            -- Girard: pole triangle with equatorial base dl degrees has
+            -- spherical excess = radians(dl) exactly (base angles are
+            -- both pi/2, apex = dl)
+            SELECT i AS tri_id,
+                   round(radians(1 + (i * 7) % 50), 9) AS area_sr
+            FROM range(64) t(i)
         """,
         "buffer_point_area": """
             SELECT i AS pt_id,

@@ -142,13 +142,28 @@ def get_parts_recursive(geom: Geometry | None) -> list[Geometry]:
     return out
 
 
-def remove_inner_rings(geom: Geometry | None, min_area_to_keep: float) -> Geometry | None:
+def remove_inner_rings(
+    geom: Geometry | None,
+    min_area_to_keep: float,
+    crs_geographic: bool = False,
+) -> Geometry | None:
     """Drop interior rings with |area| <= min_area_to_keep (0 => drop
-    all). Planar area only (geographic-CRS geodesic branch of the
-    reference is out of scope — raise if ever needed via CRS plumbing).
+    all). With crs_geographic=True, ring areas are geodesic m^2 on the
+    WGS84 authalic sphere (lon/lat degree coords) — the reference's
+    geographic-CRS branch (/root/reference/pygeoops/_general.py:530-537
+    uses pyproj Geod; ours is the exact great-circle spherical area,
+    see kernels.ring_area_geodesic).
     """
     if geom is None:
         return None
+
+    def ring_area(ring) -> float:
+        arr = np.asarray(ring)
+        if crs_geographic:
+            from pygeoops_spark.geom.kernels import ring_area_geodesic
+
+            return ring_area_geodesic(arr)
+        return abs(ring_signed_area(arr))
 
     def one(p: Geometry) -> Geometry:
         if not p.data:
@@ -157,7 +172,7 @@ def remove_inner_rings(geom: Geometry | None, min_area_to_keep: float) -> Geomet
             return Geometry(POLYGON, [p.data[0]], p.dims)
         rings = [p.data[0]]
         for ring in p.data[1:]:
-            if abs(ring_signed_area(np.asarray(ring))) > min_area_to_keep:
+            if ring_area(ring) > min_area_to_keep:
                 rings.append(ring)
         return Geometry(POLYGON, rings, p.dims)
 

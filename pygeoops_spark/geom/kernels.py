@@ -7,6 +7,8 @@ checks, no code taken from it).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pygeoops_spark.geom.wkb import (
@@ -39,6 +41,78 @@ def polygon_area(geom: Geometry) -> float:
         total += abs(ring_signed_area(part.data[0]))
         for hole in part.data[1:]:
             total -= abs(ring_signed_area(hole))
+    return total
+
+
+# WGS84 authalic radius (the sphere with the ellipsoid's surface area)
+WGS84_AUTHALIC_RADIUS_M = 6371007.1809
+
+
+def ring_area_geodesic(
+    ring: np.ndarray, radius: float = WGS84_AUTHALIC_RADIUS_M
+) -> float:
+    """Unsigned great-circle spherical polygon area of a lon/lat ring
+    (degrees), in radius^2 units (m^2 with the default radius).
+
+    EXACT for great-circle-edge polygons via Gauss-Bonnet: on the unit
+    sphere, Area = 2*pi - sum(exterior turn angles), with the turn at
+    each vertex computed from the adjacent edge-plane normals
+    (atan2 of their cross/dot projected on the vertex vector — no
+    small-angle approximations, unlike the lat/lon trapezoid formulas).
+
+    Parity target: the reference's geographic-CRS branch
+    (/root/reference/pygeoops/_general.py:530-537, pyproj
+    Geod.geometry_area_perimeter = Karney ellipsoidal area). On the
+    authalic sphere regional areas agree with the ellipsoid to ~0.1%
+    at mid latitudes — adequate for remove_inner_rings' threshold
+    semantics; documented spherical approximation, not Karney.
+
+    Polygons spanning more than a hemisphere are returned as the
+    complement (the smaller cap) — same convention as most GIS area
+    helpers for rings.
+    """
+    arr = np.asarray(ring, dtype=float)[:, :2]
+    if len(arr) >= 2 and np.array_equal(arr[0], arr[-1]):
+        arr = arr[:-1]
+    # drop consecutive duplicates (degenerate edge normals)
+    if len(arr) >= 2:
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = np.any(arr[1:] != arr[:-1], axis=1)
+        arr = arr[keep]
+    if len(arr) < 3:
+        return 0.0
+    lon = np.radians(arr[:, 0])
+    lat = np.radians(arr[:, 1])
+    cl = np.cos(lat)
+    v = np.column_stack([cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)])
+    nxt = np.roll(v, -1, axis=0)
+    n = np.cross(v, nxt)  # plane normal of edge i: v_i -> v_{i+1}
+    nn = np.linalg.norm(n, axis=1)
+    if (nn == 0).any():  # antipodal edge: undefined great circle
+        return 0.0
+    n /= nn[:, None]
+    n_prev = np.roll(n, 1, axis=0)  # edge arriving at vertex i
+    sin_t = np.einsum("ij,ij->i", np.cross(n_prev, n), v)
+    cos_t = np.einsum("ij,ij->i", n_prev, n)
+    excess = 2.0 * math.pi - float(np.arctan2(sin_t, cos_t).sum())
+    excess = abs(excess)
+    if excess > 2.0 * math.pi:
+        excess = 4.0 * math.pi - excess
+    return excess * radius * radius
+
+
+def polygon_area_geodesic(
+    geom: Geometry, radius: float = WGS84_AUTHALIC_RADIUS_M
+) -> float:
+    """Unsigned geodesic area: |shell| minus |holes| summed over parts
+    (lon/lat degrees input), in radius^2 units."""
+    total = 0.0
+    for part in get_parts(geom):
+        if part.type_id != POLYGON or not part.data:
+            continue
+        total += ring_area_geodesic(np.asarray(part.data[0]), radius)
+        for hole in part.data[1:]:
+            total -= ring_area_geodesic(np.asarray(hole), radius)
     return total
 
 

@@ -110,12 +110,18 @@ def simplify_geometry(
             rings.append(out)
         if not rings:
             return None
-        # simplification can make a shell self-touch/cross -> repair
-        # (reference runs shapely.make_valid on every polygon result,
-        # _simplify.py:275-283)
+        # simplification can make a shell self-touch/cross -> repair,
+        # then keep only polygon parts: the reference runs
+        # collection_extract(shapely.make_valid(result), POLYGON) on
+        # every polygon result (_simplify.py:275-283), so collapses to
+        # lines/points are filtered here even though make_valid itself
+        # now emits them under keep_collapsed=True
+        from pygeoops_spark.geom.general import collection_extract
         from pygeoops_spark.geom.validity import make_valid
 
-        result = make_valid(Geometry(POLYGON, rings, geom.dims))
+        result = collection_extract(
+            make_valid(Geometry(POLYGON, rings, geom.dims)), 3
+        )
         if result is None and preserve_topology:
             return geom
         return result

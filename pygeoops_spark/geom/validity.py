@@ -4,8 +4,13 @@ Covers the cases the reference test-suite exercises
 (tests/test_simplify.py:181-251): shells that self-touch at a vertex or
 self-cross after simplification are noded against themselves and
 re-stitched into separate simple loops (figure-eight split); holes are
-re-assigned to the shell that contains them. Full GEOS make_valid
-generality (collapses to lower dimensions etc.) is out of scope and
+re-assigned to the shell that contains them. Rings that COLLAPSE to a
+lower dimension (zero area: a line or a point) follow the reference's
+keep_collapsed semantics (/root/reference/pygeoops/_general.py:419-479
+delegating to GEOS MakeValid): keep_collapsed=True emits the collapsed
+LineString/Point (mixed results become a GeometryCollection),
+keep_collapsed=False drops them. Arbitrary GEOS invalidity beyond
+these classes (e.g. nested shells) remains out of scope and is
 documented as such.
 """
 
@@ -17,11 +22,33 @@ from pygeoops_spark.geom.kernels import points_in_polygon, ring_signed_area
 from pygeoops_spark.geom.overlay import _node_edges, _rings_to_polygons, _stitch
 from pygeoops_spark.geom.wkb import (
     Geometry,
+    GEOMETRYCOLLECTION,
+    LINESTRING,
     MULTIPOLYGON,
+    POINT,
     POLYGON,
     get_parts,
     multi,
 )
+
+
+def _collapsed_geometry(coords: np.ndarray) -> Geometry | None:
+    """Zero-area ring -> its lower-dimension remnant: the deduped
+    traversal path as a LineString, or a Point when fully degenerate
+    (mirrors GEOS MakeValid's collapse output for flat rings)."""
+    arr = np.asarray(coords, dtype=float)[:, :2]
+    if len(arr) >= 2 and np.array_equal(arr[0], arr[-1]):
+        arr = arr[:-1]
+    if len(arr) >= 2:
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = np.any(arr[1:] != arr[:-1], axis=1)
+        arr = arr[keep]
+    if len(arr) == 0:
+        return None
+    uniq = np.unique(arr, axis=0)
+    if len(uniq) == 1:
+        return Geometry(POINT, arr[0].tolist())
+    return Geometry(LINESTRING, arr)
 
 
 def _ring_loops(ring: np.ndarray) -> list[np.ndarray]:
@@ -80,32 +107,36 @@ def make_valid(geom: Geometry | None, keep_collapsed: bool = True) -> Geometry |
     """Repair self-touching/crossing polygon shells; pass through other
     types. Multi-loop shells become MultiPolygon parts ordered by
     descending area (deterministic; matches the reference tests' use of
-    geoms[0] as the dominant part)."""
+    geoms[0] as the dominant part). Collapsed rings follow
+    keep_collapsed (see module docstring)."""
     if geom is None:
         return None
     t = geom.type_id
     if t == POLYGON:
-        return _make_valid_polygon(geom)
+        return _make_valid_polygon(geom, keep_collapsed)
     if t == MULTIPOLYGON:
         parts = []
         for p in geom.data:
-            r = _make_valid_polygon(p)
+            r = _make_valid_polygon(p, keep_collapsed)
             if r is not None:
                 parts.extend(get_parts(r))
         if not parts:
             return None
         if len(parts) == 1:
             return parts[0]
-        return multi(MULTIPOLYGON, parts)
+        if all(p.type_id == POLYGON for p in parts):
+            return multi(MULTIPOLYGON, parts)
+        return multi(GEOMETRYCOLLECTION, parts)
     return geom
 
 
-def _make_valid_polygon(poly: Geometry) -> Geometry | None:
+def _make_valid_polygon(poly: Geometry, keep_collapsed: bool = True) -> Geometry | None:
     if not poly.data:
         return poly
     loops = _ring_loops(np.asarray(poly.data[0]))
     if not loops:
-        return None
+        # the whole shell is zero-area: a collapse to line/point
+        return _collapsed_geometry(np.asarray(poly.data[0])) if keep_collapsed else None
     if len(loops) == 1:
         # keep the original shell coords (repair is a no-op)
         shells = [np.asarray(poly.data[0], dtype=float)]

@@ -89,9 +89,37 @@ def _scalar_wkb_udf(fn):
     return _ud
 
 
-def collection_extract_col(wkb_col: Column | str, primitivetype_id: int) -> Column:
+def collection_extract_col(
+    wkb_col: Column | str, primitivetype_id: "int | Column | str"
+) -> Column:
+    """Keep only parts of the requested primitive type.
+
+    primitivetype_id may be a scalar int (one type for all rows) or a
+    Column/column name of per-row type codes — the Spark mapping of the
+    reference's zipped arraylike form (geometry array + primitivetype
+    array 1:1, /root/reference/pygeoops/_general.py:137-164)."""
     wkb_col = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
-    return _scalar_wkb_udf(lambda g: _extract_kernel(g, primitivetype_id))(wkb_col)
+    if isinstance(primitivetype_id, int):
+        return _scalar_wkb_udf(lambda g: _extract_kernel(g, primitivetype_id))(wkb_col)
+
+    tcol = (
+        F.col(primitivetype_id) if isinstance(primitivetype_id, str) else primitivetype_id
+    )
+
+    @F.pandas_udf(BinaryType())
+    def _ud(wkbs: pd.Series, types: pd.Series) -> pd.Series:
+        out = []
+        for b, t in zip(wkbs, types):
+            if b is None:
+                out.append(None)
+                continue
+            if t is None or pd.isna(t):
+                raise ValueError("Invalid value for primitivetype: None")
+            g = _extract_kernel(wkb_loads(bytes(b)), int(t))
+            out.append(wkb_dumps(g) if g is not None else None)
+        return pd.Series(out, dtype=object)
+
+    return _ud(wkb_col, tcol)
 
 
 def primitivetype_id_col(wkb_col: Column | str) -> Column:

@@ -230,3 +230,59 @@ def test_extend_line_to_geometry_errors():
         extend_line_to_geometry(linestring([(3, 5), (5, 5)]), point(0, 0))
     with pytest.raises(ValueError, match=r"line must be \(Multi\)LineString"):
         extend_line_to_geometry(point(0, 0), linestring([(3, 5), (5, 5)]))
+
+
+# -- geodesic area (reference _general.py:530-537 geographic branch) ------
+def test_ring_area_geodesic_pole_triangle_exact():
+    import math
+
+    import numpy as np
+
+    from pygeoops_spark.geom.kernels import ring_area_geodesic
+
+    for dl in (1.0, 8.0, 45.0, 120.0):
+        tri = np.array([[10.0, 0.0], [10.0 + dl, 0.0], [10.0, 90.0], [10.0, 0.0]])
+        a = ring_area_geodesic(tri, radius=1.0)
+        assert a == pytest.approx(math.radians(dl), rel=1e-12)
+        # orientation-independent (unsigned)
+        assert ring_area_geodesic(tri[::-1], radius=1.0) == pytest.approx(a, rel=1e-12)
+
+
+def test_ring_area_geodesic_small_square_planar_limit():
+    import math
+
+    import numpy as np
+
+    from pygeoops_spark.geom.kernels import (
+        WGS84_AUTHALIC_RADIUS_M,
+        ring_area_geodesic,
+    )
+
+    s = 0.01  # ~1.1 km square at the equator
+    sq = np.array([[0, 0], [s, 0], [s, s], [0, s], [0, 0]], dtype=float)
+    a = ring_area_geodesic(sq)
+    planar = (math.radians(s) * WGS84_AUTHALIC_RADIUS_M) ** 2
+    assert a == pytest.approx(planar, rel=1e-6)
+
+
+def test_remove_inner_rings_geodesic_threshold():
+    """Hole areas are geodesic m^2 when crs_geographic=True: a ~1.1 km
+    hole (1.23e6 m^2) survives a 1e6 threshold but not 2e6 — planar
+    degree^2 area (1e-4) would always be dropped by both."""
+    import numpy as np
+
+    from pygeoops_spark.geom import polygon as mk_poly
+    from pygeoops_spark.geom.general import remove_inner_rings
+
+    s = 0.01
+    shell = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    hole = [(0.5, 0.5), (0.5 + s, 0.5), (0.5 + s, 0.5 + s), (0.5, 0.5 + s)]
+    poly = mk_poly(shell, [hole])
+
+    kept = remove_inner_rings(poly, 1e6, crs_geographic=True)
+    assert len(kept.data) == 2
+    dropped = remove_inner_rings(poly, 2e6, crs_geographic=True)
+    assert len(dropped.data) == 1
+    # planar interpretation would drop it at any metre-scale threshold
+    planar = remove_inner_rings(poly, 1e6, crs_geographic=False)
+    assert len(planar.data) == 1

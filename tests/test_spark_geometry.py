@@ -78,3 +78,46 @@ def test_view_angles_udf(spark):
     assert a["angle_end"] == pytest.approx(63.434948822)
     s = rows[1]["va"]["angle_start"]
     assert s is None or s != s  # null geometry -> nan/null angles
+
+
+def test_collection_extract_per_element_types(spark):
+    """Spark mapping of the reference's zipped arraylike form
+    (tests/test_general.py:201-228): the same geometrycollection with
+    per-row primitivetype codes 0..3."""
+    import pandas as pd
+
+    from pygeoops_spark.geom import linestring, point, polygon, wkb_dumps
+    from pygeoops_spark.geom.general import collect
+    from pygeoops_spark.geom.wkb import wkb_loads
+    from pygeoops_spark.operators.collection import collection_extract_col
+
+    def box(x0, y0, x1, y1):
+        return polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+
+    gc = collect(
+        [
+            point(0, 0),
+            linestring([(0, 0), (0, 1)]),
+            box(0, 0, 1, 1),
+            collect([box(2, 0, 3, 1), box(4, 0, 5, 1)]),
+        ]
+    )
+    assert gc.geom_type == "GEOMETRYCOLLECTION"
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": [0, 1, 2, 3], "wkb": [wkb_dumps(gc)] * 4, "ptype": [0, 1, 2, 3]})
+    )
+    got = {
+        r["i"]: r["out"]
+        for r in df.select(
+            "i", collection_extract_col("wkb", "ptype").alias("out")
+        ).collect()
+    }
+    g0 = wkb_loads(bytes(got[0]))
+    assert g0.geom_type == "GEOMETRYCOLLECTION" and len(g0.data) == 4
+    assert wkb_loads(bytes(got[1])).geom_type == "POINT"
+    assert wkb_loads(bytes(got[2])).geom_type == "LINESTRING"
+    g3 = wkb_loads(bytes(got[3]))
+    # poly1 + the nested multipolygon survive as a collection of 2
+    assert g3.geom_type == "GEOMETRYCOLLECTION" and len(g3.data) == 2
+    assert g3.data[0].geom_type == "POLYGON"
+    assert g3.data[1].geom_type == "MULTIPOLYGON"

@@ -59,3 +59,46 @@ def test_simplify_m_cross():
     assert out is not None
     assert out.type_id == MULTIPOLYGON
     assert len(out.data) == 3
+
+
+# -- collapse semantics (reference _general.py:419-479 keep_collapsed) ----
+def test_make_valid_collapsed_ring_to_linestring():
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.validity import make_valid
+
+    flat = polygon([(0, 0), (2, 0), (5, 0)])  # zero-area ring
+    kept = make_valid(flat, keep_collapsed=True)
+    assert kept is not None and kept.geom_type == "LINESTRING"
+    import numpy as np
+
+    coords = np.asarray(kept.data)
+    assert coords[0].tolist() == [0.0, 0.0]
+    assert coords[-1].tolist() == [5.0, 0.0]
+    assert make_valid(flat, keep_collapsed=False) is None
+
+
+def test_make_valid_collapsed_ring_to_point():
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.validity import make_valid
+
+    pt = polygon([(3, 4), (3, 4), (3, 4)])
+    kept = make_valid(pt, keep_collapsed=True)
+    assert kept is not None and kept.geom_type == "POINT"
+    assert make_valid(pt, keep_collapsed=False) is None
+
+
+def test_make_valid_multipolygon_mixed_collapse():
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.general import collect
+    from pygeoops_spark.geom.validity import make_valid
+
+    good = polygon([(0, 0), (4, 0), (4, 4), (0, 4)])
+    flat = polygon([(10, 0), (12, 0), (14, 0)])
+    mp = collect([good, flat])
+    assert mp.geom_type == "MULTIPOLYGON"
+    kept = make_valid(mp, keep_collapsed=True)
+    assert kept.geom_type == "GEOMETRYCOLLECTION"
+    types = sorted(p.geom_type for p in kept.data)
+    assert types == ["LINESTRING", "POLYGON"]
+    dropped = make_valid(mp, keep_collapsed=False)
+    assert dropped.geom_type == "POLYGON"
