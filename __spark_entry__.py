@@ -124,6 +124,25 @@ def _q_grid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_tiles(base, 12).select("tile_id", "xmin", "ymin", "xmax", "ymax")
 
 
+def _q_grid_create3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_grid3 (grid by tile SIZE): ceil cols/rows and edge-tile
+    overshoot past the bounds, no clamping (reference _grid.py:40-89).
+    (0,0,100,70) at 15x20 -> 7x4 tiles, last column reaching x=105 and
+    last row y=80."""
+    from pygeoops_spark.operators.grid import create_grid3
+
+    return create_grid3(spark, (0.0, 0.0, 100.0, 70.0), 15.0, 20.0)
+
+
+def _q_grid_create2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_grid2 (squarish tiling): the reference's shape derivation
+    pins 100 requested -> 96 emitted for these bounds (aspect 0.1:
+    rows=round(sqrt(100/0.1))=32, cols=round(100/32)=3)."""
+    from pygeoops_spark.operators.grid import create_grid2
+
+    return create_grid2(spark, (40000.0, 160000.0, 45000.0, 210000.0), 100)
+
+
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.corpus.pages import order_points
     from pygeoops_spark.operators.grid import assign_to_grid
@@ -894,6 +913,8 @@ def _q_buffer_point_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "grid_create": _q_grid_create,
+        "grid_create3": _q_grid_create3,
+        "grid_create2": _q_grid_create2,
         "grid_split": _q_grid_split,
         "tile_assign": _q_tile_assign,
         "cell_pyramid": _q_cell_pyramid,
@@ -955,6 +976,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(40000 AS DOUBLE) + (i // 3 + 1) * CAST(1250 AS DOUBLE) AS xmax,
                    CAST(160000 AS DOUBLE) + (i % 3 + 1) * (CAST(50000 AS DOUBLE) / 3) AS ymax
             FROM range(12) t(i)
+        """,
+        "grid_create3": """
+            -- ceil(100/15)=7 cols, ceil(70/20)=4 rows; column-major,
+            -- edge tiles overshoot (no clamp)
+            SELECT i AS tile_id,
+                   CAST(i // 4 AS INT) AS col,
+                   CAST(i % 4 AS INT) AS row,
+                   (i // 4) * CAST(15 AS DOUBLE) AS xmin,
+                   (i % 4) * CAST(20 AS DOUBLE) AS ymin,
+                   (i // 4 + 1) * CAST(15 AS DOUBLE) AS xmax,
+                   (i % 4 + 1) * CAST(20 AS DOUBLE) AS ymax
+            FROM range(28) t(i)
+        """,
+        "grid_create2": """
+            -- squarish derivation for (40000,160000,45000,210000), 100
+            -- tiles requested: aspect=0.1 -> rows=round(sqrt(1000))=32,
+            -- cols=round(100/32)=3 -> 96 tiles (the reference pin)
+            SELECT i AS tile_id,
+                   CAST(i // 32 AS INT) AS col,
+                   CAST(i % 32 AS INT) AS row,
+                   CAST(40000 AS DOUBLE) + (i // 32) * (CAST(5000 AS DOUBLE) / 3) AS xmin,
+                   CAST(160000 AS DOUBLE) + (i % 32) * (CAST(50000 AS DOUBLE) / 32) AS ymin,
+                   CAST(40000 AS DOUBLE) + (i // 32 + 1) * (CAST(5000 AS DOUBLE) / 3) AS xmax,
+                   CAST(160000 AS DOUBLE) + (i % 32 + 1) * (CAST(50000 AS DOUBLE) / 32) AS ymax
+            FROM range(96) t(i)
         """,
         "grid_split": """
             -- 2x2 grid of (40,40,45,46) split with ratio 3 -> each tile
