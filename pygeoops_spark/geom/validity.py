@@ -103,15 +103,26 @@ def polygon_is_simple(poly: Geometry) -> bool:
     return len(_ring_loops(np.asarray(poly.data[0]))) <= 1
 
 
-def make_valid(geom: Geometry | None, keep_collapsed: bool = True) -> Geometry | None:
+def make_valid(
+    geom: Geometry | None,
+    keep_collapsed: bool = True,
+    only_if_invalid: bool = False,
+) -> Geometry | None:
     """Repair self-touching/crossing polygon shells; pass through other
     types. Multi-loop shells become MultiPolygon parts ordered by
     descending area (deterministic; matches the reference tests' use of
     geoms[0] as the dominant part). Collapsed rings follow
-    keep_collapsed (see module docstring)."""
+    keep_collapsed (see module docstring). only_if_invalid mirrors the
+    reference's fast path (_general.py:446-458): check validity first
+    and return the input untouched when already simple — cheaper when
+    most geometries are valid."""
     if geom is None:
         return None
     t = geom.type_id
+    if only_if_invalid and t in (POLYGON, MULTIPOLYGON):
+        parts = [geom] if t == POLYGON else list(geom.data)
+        if all(polygon_is_simple(p) for p in parts):
+            return geom
     if t == POLYGON:
         return _make_valid_polygon(geom, keep_collapsed)
     if t == MULTIPOLYGON:

@@ -235,19 +235,37 @@ def minhash_lsh_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard (hashed shingles as keys)
-    sh = shingle_table(df, id_col, text_col, n).withColumn("_sh", F.xxhash64("shingle"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("_n_sh").alias("na"), "_sh")
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("_n_sh").alias("nb"), "_sh")
-    common = (
-        cands.join(a, "id_a")
-        .join(b, ["id_b", "_sh"])
-        .groupBy("id_a", "id_b", "na", "nb")
-        .agg(F.count("*").alias("common"))
+    # verify candidates with exact jaccard via per-doc shingle-hash
+    # arrays + array_intersect: one row per candidate pair instead of
+    # exploding each pair by |A| (same rewrite as jaccard_pairs)
+    arrs = df.select(
+        F.col(id_col).alias("_aid"),
+        F.array_sort(
+            F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("_aset"),
+    )
+    sized = (
+        cands.join(
+            arrs.select(
+                F.col("_aid").alias("id_a"),
+                F.col("_aset").alias("_sa"),
+                F.size("_aset").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("_aid").alias("id_b"),
+                F.col("_aset").alias("_sb"),
+                F.size("_aset").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn("common", F.size(F.array_intersect("_sa", "_sb")))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
     return (
-        common.where(jac >= threshold)
+        sized.where(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
         .select("id_a", "id_b", "jaccard")
     )

@@ -102,3 +102,16 @@ def test_make_valid_multipolygon_mixed_collapse():
     assert types == ["LINESTRING", "POLYGON"]
     dropped = make_valid(mp, keep_collapsed=False)
     assert dropped.geom_type == "POLYGON"
+
+
+def test_make_valid_only_if_invalid_fast_path():
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.validity import make_valid
+
+    good = polygon([(0, 0), (4, 0), (4, 4), (0, 4)])
+    assert make_valid(good, only_if_invalid=True) is good  # untouched
+    # a self-crossing bowtie still gets repaired through the fast path
+    bowtie = polygon([(0, 0), (4, 4), (4, 0), (0, 4)])
+    fixed = make_valid(bowtie, only_if_invalid=True)
+    assert fixed.geom_type == "MULTIPOLYGON"
+    assert len(fixed.data) == 2
