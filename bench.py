@@ -182,8 +182,11 @@ def _mk_spark(cpus: int):
 
 def _scaling_worker(cpus: int) -> None:
     """Measure the two scaling workloads in this (fresh) process."""
-    n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "32000000"))
-    n_cl = int(os.environ.get("SPARK_GRAFT_SCALING_CENTERLINES", "16000"))
+    # sized so compute dominates fixed overheads at the larger core
+    # count (the round-2 kernel speedups made the r01 sizes too small
+    # to measure core scaling cleanly)
+    n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "64000000"))
+    n_cl = int(os.environ.get("SPARK_GRAFT_SCALING_CENTERLINES", "48000"))
     import statistics
 
     s = _mk_spark(cpus)

@@ -43,3 +43,58 @@ def test_streaming_tile_assignment(spark):
         batch.select("url", "tile_id")
     )
     assert diff.count() == 0
+
+
+def test_streaming_stateful_sessionization(spark):
+    """applyInPandasWithState sessionizer vs the batch sessionizer:
+    with one availableNow micro-batch, the stream emits exactly every
+    CLOSED session (all but each user's final, still-open one), with
+    identical (start, end, n_events)."""
+    import tempfile as _tf
+
+    from pygeoops_spark.streaming.sessions import sessionize_stream
+    from pygeoops_spark.text.pipeline import sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    src = _tf.mkdtemp(prefix="stream_sess_")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = sessionize_stream(stream, gap_seconds=1800, idle_flush_ms=3_600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from closed_sessions").collect()
+    }
+
+    # batch ground truth: per (user, session_id) aggregates, drop each
+    # user's last session (still open in the stream)
+    s = sessionize(events, gap_seconds=1800)
+    agg = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    )
+    by_user = {}
+    for r in agg:
+        by_user.setdefault(r["user_id"], []).append(r)
+    want = set()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: r["session_id"])
+        for r in rows[:-1]:
+            want.add((r["user_id"], r["session_start"], r["session_end"], r["n_events"]))
+    assert got == want
+    assert len(want) > 0  # the fixture actually exercises closures
