@@ -815,6 +815,16 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at cosine >= 0.40 (nearest pair
+    to the boundary on this corpus is 1.3e-4 away — far beyond the
+    ~1e-15 cross-engine FP noise of the dot products)."""
+    from pygeoops_spark.ann.cosine import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_dup_pairs(emb, threshold=0.40)
+
+
 def _q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic relational capability: revenue per nation (lineitem x
     orders x customer x nation), decimal-exact arithmetic."""
@@ -950,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "revenue_rollup": _q_revenue_rollup,
         "frame_sample": _q_frame_sample,
         "ann_cosine": _q_ann_cosine,
@@ -1425,6 +1436,19 @@ def oracle_sql() -> dict[str, str]:
                    round(16 * CAST(1 + i % 7 AS DOUBLE) * CAST(1 + i % 7 AS DOUBLE)
                          * sin(pi() / 16), 6) AS area
             FROM range(64) t(i)
+        """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))),
+                     6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                  / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+                  >= 0.40
         """,
         "revenue_rollup": """
             -- BIGINT 1e-4 units out; DECIMAL never reaches the hash

@@ -116,6 +116,65 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (id_a < id_b) with
+    cosine similarity >= threshold. Exact: the (small, guarded) vector
+    set is closed over as a normalized matrix and the big side streams
+    through mapInPandas — one (batch x dim) @ (dim x n) matmul per
+    Arrow batch, no crossJoin row explosion. For corpora past the
+    guard, generate candidates with cosine_topk_lsh's SRP bands and
+    verify exactly; this exact form is the oracle-able small-data path
+    and the verifier.
+
+    Output: id_a, id_b, cos_sim (rounded 1e-6; threshold applied
+    unrounded)."""
+    qpd = (
+        df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_rows + 1)
+        .toPandas()
+    )
+    if len(qpd) > max_rows:
+        raise ValueError(
+            f"cosine_dup_pairs closes over the full vector set; got > "
+            f"{max_rows} rows. Use the LSH-candidate path at scale."
+        )
+    q_ids = qpd["qid"].to_numpy()
+    qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_dtype}, id_b {id_dtype}, cos_sim double"
+
+    def pairs(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            tmat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            tnorm = np.linalg.norm(tmat, axis=1)
+            tnorm[tnorm == 0] = 1.0
+            sims = (tmat @ qmat.T) / tnorm[:, None] / qnorm[None, :]
+            t_ids = pdf[id_col].to_numpy()
+            # id_a < id_b avoids self pairs and emits each pair once
+            ti, qi = np.nonzero((sims >= threshold) & (t_ids[:, None] < q_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": t_ids[ti],
+                    "id_b": q_ids[qi],
+                    "cos_sim": sims[ti, qi],
+                }
+            )
+
+    out = df.select(id_col, vec_col).mapInPandas(pairs, schema)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
 def _srp_planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_bits, dim))

@@ -226,3 +226,20 @@ def test_connected_components_alternating_star(spark):
         union(a, b)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+def test_cosine_dup_pairs_exact_and_guarded(emb):
+    from pyspark.sql import functions as F
+
+    from pygeoops_spark.ann.cosine import cosine_dup_pairs
+
+    pairs = cosine_dup_pairs(emb, threshold=0.40)
+    rows = pairs.collect()
+    assert len(rows) > 0
+    assert all(r["id_a"] < r["id_b"] and r["cos_sim"] >= 0.4 - 1e-6 for r in rows)
+    # symmetric-dedup: each unordered pair exactly once
+    assert len({(r["id_a"], r["id_b"]) for r in rows}) == len(rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="LSH-candidate path"):
+        cosine_dup_pairs(emb, threshold=0.9, max_rows=10)
