@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "simhash",
     "ann_cosine",
     "ann_lsh",
+    "dedup_embedding",
     "media_features",
     "revenue_rollup",
     "extract_text",

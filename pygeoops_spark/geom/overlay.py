@@ -98,18 +98,27 @@ def _node_edges(
     edges: list[tuple[np.ndarray, np.ndarray]],
     others: list[list[tuple[np.ndarray, np.ndarray]]],
 ) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Split each edge at intersections with edges of the other sets."""
+    """Split each edge at intersections with edges of the other sets.
+
+    Per edge, the general-position intersection test against ALL bbox
+    candidates is one vectorized numpy pass; only collinear candidates
+    (denom == 0 with zero cross — rare) drop to the scalar helper."""
     if not others:
         return edges
     all_other = [e for o in others for e in o]
     if not all_other:
         return edges
-    ob = np.array(
+    o1 = np.array([e[0] for e in all_other])
+    o2 = np.array([e[1] for e in all_other])
+    ob = np.column_stack(
         [
-            [min(a[0], b[0]), min(a[1], b[1]), max(a[0], b[0]), max(a[1], b[1])]
-            for a, b in all_other
+            np.minimum(o1[:, 0], o2[:, 0]),
+            np.minimum(o1[:, 1], o2[:, 1]),
+            np.maximum(o1[:, 0], o2[:, 0]),
+            np.maximum(o1[:, 1], o2[:, 1]),
         ]
     )
+    s_all = o2 - o1
     out = []
     for a, b in edges:
         lo_x, hi_x = min(a[0], b[0]), max(a[0], b[0])
@@ -117,15 +126,35 @@ def _node_edges(
         cand = np.nonzero(
             (ob[:, 0] <= hi_x) & (ob[:, 2] >= lo_x) & (ob[:, 1] <= hi_y) & (ob[:, 3] >= lo_y)
         )[0]
-        cuts: list[float] = []
         d = b - a
         dd = float(d @ d)
-        for idx in cand:
-            o1, o2 = all_other[idx]
-            for ip in _seg_intersections(a, b, o1, o2):
-                t = float((ip - a) @ d) / dd
-                if 1e-12 < t < 1 - 1e-12:
-                    cuts.append(t)
+        cuts: list[float] = []
+        if 0 < len(cand) < 8:
+            # tiny candidate sets: scalar beats numpy call overhead
+            for idx in cand:
+                for ip in _seg_intersections(a, b, o1[idx], o2[idx]):
+                    t1 = float((ip - a) @ d) / dd
+                    if 1e-12 < t1 < 1 - 1e-12:
+                        cuts.append(t1)
+        elif len(cand):
+            s = s_all[cand]
+            qp = o1[cand] - a
+            denom = d[0] * s[:, 1] - d[1] * s[:, 0]
+            general = denom != 0
+            if general.any():
+                dg = denom[general]
+                qg = qp[general]
+                sg = s[general]
+                t = (qg[:, 0] * sg[:, 1] - qg[:, 1] * sg[:, 0]) / dg
+                u = (qg[:, 0] * d[1] - qg[:, 1] * d[0]) / dg
+                m = (t > 1e-12) & (t < 1 - 1e-12) & (u >= 0.0) & (u <= 1.0)
+                cuts.extend(t[m].tolist())
+            if (~general).any() and dd > 0:
+                for idx in cand[~general]:
+                    for ip in _seg_intersections(a, b, o1[idx], o2[idx]):
+                        t1 = float((ip - a) @ d) / dd
+                        if 1e-12 < t1 < 1 - 1e-12:
+                            cuts.append(t1)
         if not cuts:
             out.append((a, b))
             continue
