@@ -49,7 +49,10 @@ from pyspark.sql.types import (
 
 from pygeoops_spark.geom.simplify import simplify_coords_idx
 from pygeoops_spark.geom.wkb import (
+    GEOMETRYCOLLECTION,
     Geometry,
+    LINESTRING,
+    MULTILINESTRING,
     MULTIPOLYGON,
     POLYGON,
     get_parts,
@@ -80,17 +83,27 @@ _SEG_SCHEMA = StructType(
 
 
 def _explode_segments(df: DataFrame, id_col: str, wkb_col: str) -> DataFrame:
+    """Directed segments of every polygon ring (ring >= 0) and every
+    linestring part (ring == -1, open chain) — the reference's
+    topology covers mixed poly/line inputs (tests/test_simplify_topo.py
+    :141-167), and a line sharing a polygon boundary must pick up the
+    polygon's vertices as junctions."""
+    from pygeoops_spark.geom.general import get_parts_recursive
+
     def run(pdf: pd.DataFrame):
         rows = []
         for fid, b in zip(pdf[id_col], pdf[wkb_col]):
             if b is None:
                 continue
             g = wkb_loads(bytes(b))
-            for part_no, part in enumerate(
-                p for p in get_parts(g) if p.type_id == POLYGON
-            ):
-                for ring_no, ring in enumerate(part.data):
-                    arr = np.asarray(ring, dtype=float)
+            for part_no, part in enumerate(get_parts_recursive(g)):
+                if part.type_id == POLYGON:
+                    chains = [(ring_no, np.asarray(r, dtype=float)) for ring_no, r in enumerate(part.data)]
+                elif part.type_id == LINESTRING:
+                    chains = [(-1, np.asarray(part.data, dtype=float))]
+                else:
+                    continue
+                for ring_no, arr in chains:
                     for i in range(len(arr) - 1):
                         rows.append(
                             (
@@ -128,8 +141,15 @@ def simplify_topo(
     segs = _explode_segments(df, id_col, wkb_col).cache()
 
     # --- 2. noding: other features' vertices that lie ON a segment ----
+    # segment STARTS cover every ring vertex; open line chains also
+    # need their final endpoint, so union both segment ends
     verts = (
         segs.select(F.col("fid").alias("vfid"), F.col("ax").alias("vx"), F.col("ay").alias("vy"))
+        .union(
+            segs.select(
+                F.col("fid").alias("vfid"), F.col("bx").alias("vx"), F.col("by").alias("vy")
+            )
+        )
         .distinct()
         .withColumn("_cell", cell_id("vx", "vy", cell_level))
     )
@@ -233,23 +253,28 @@ def simplify_topo(
 
     def simplify_feature(pdf: pd.DataFrame) -> pd.DataFrame:
         fid = int(pdf["fid"].iloc[0])
-        polys: list[Geometry] = []
+        parts: list[Geometry] = []
         for _part, pgrp in pdf.groupby("part"):
             rings_out = []
+            lines_out = []
             for _ring, grp in pgrp.groupby("ring"):
+                is_line = _ring == -1
                 grp = grp.sort_values(["seq", "sub"])
                 segs_l = grp[["ax", "ay", "bx", "by"]].to_numpy()
                 sigs = [tuple(s) for s in grp["fids"]]
                 n = len(segs_l)
                 if n == 0:
                     continue
-                # rotate so the ring starts at a signature change (if any)
-                start = 0
-                for i in range(n):
-                    if sigs[i] != sigs[i - 1]:
-                        start = i
-                        break
-                order = list(range(start, n)) + list(range(0, start))
+                if is_line:
+                    order = list(range(n))  # open chain: no rotation
+                else:
+                    # rotate so the ring starts at a signature change
+                    start = 0
+                    for i in range(n):
+                        if sigs[i] != sigs[i - 1]:
+                            start = i
+                            break
+                    order = list(range(start, n)) + list(range(0, start))
                 # group consecutive equal signatures into arcs
                 arcs: list[list[int]] = []
                 for idx in order:
@@ -274,16 +299,33 @@ def simplify_topo(
                     chunk = simplified if not pts else simplified[1:]
                     pts.extend(chunk.tolist())
                 arr = np.array(pts)
+                if is_line:
+                    if len(arr) >= 2:
+                        lines_out.append(arr)
+                    continue
                 if len(arr) and not np.array_equal(arr[0], arr[-1]):
                     arr = np.vstack([arr, arr[:1]])
                 if len(arr) >= 4:
                     rings_out.append(arr)
             if rings_out:
                 # ring 0 = shell, rest holes (within one polygon part)
-                polys.append(Geometry(POLYGON, rings_out))
-        if not polys:
+                parts.append(Geometry(POLYGON, rings_out))
+            for larr in lines_out:
+                parts.append(Geometry(LINESTRING, larr))
+        if not parts:
             return pd.DataFrame({id_col: [fid], "simplified_wkb": [None]})
-        g = polys[0] if len(polys) == 1 else multi(MULTIPOLYGON, polys)
+        if len(parts) == 1:
+            g = parts[0]
+        elif all(p.type_id == POLYGON for p in parts):
+            g = multi(MULTIPOLYGON, parts)
+        elif all(p.type_id == LINESTRING for p in parts):
+            g = multi(MULTILINESTRING, parts)
+        else:
+            g = multi(GEOMETRYCOLLECTION, parts)
         return pd.DataFrame({id_col: [fid], "simplified_wkb": [wkb_dumps(g)]})
 
-    return noded.groupBy("fid").applyInPandas(simplify_feature, out_schema)
+    out = noded.groupBy("fid").applyInPandas(simplify_feature, out_schema)
+    # preserve input rows: None / empty / unsupported-type features
+    # produce no segments but must come back as NULL, not vanish
+    # (reference: simplify_topo([None]) == [None])
+    return df.select(id_col).join(out, id_col, "left")

@@ -91,3 +91,51 @@ def test_simplify_topo_multipolygon(spark):
     assert g.type_id == MULTIPOLYGON
     assert len(g.data) == 2
     assert polygon_area(g) == pytest.approx(200.0)
+
+
+def test_simplify_topo_mixed_poly_line(spark):
+    """Reference tests/test_simplify_topo.py:141-167: a line sharing a
+    polygon's boundary picks up the polygon's vertex (10,0) as a
+    junction, so after lang simplification the line keeps it; the
+    polygon is unchanged."""
+    import pandas as pd
+
+    from pygeoops_spark.geom import linestring, polygon, wkb_dumps
+    from pygeoops_spark.geom.wkb import get_coordinates, wkb_loads
+    from pygeoops_spark.operators.simplify_topo import simplify_topo
+
+    poly1 = polygon([(10, 10), (0, 10), (0, 0), (10, 0)])
+    line1 = linestring([(10, 10), (0, 10), (0, 0), (11, 0)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": [0, 1], "wkb": [wkb_dumps(poly1), wkb_dumps(line1)]})
+    )
+    out = {r["fid"]: r["simplified_wkb"] for r in simplify_topo(
+        df, "fid", "wkb", tolerance=1, algorithm="lang"
+    ).collect()}
+    g0 = wkb_loads(bytes(out[0]))
+    assert g0.geom_type == "POLYGON"
+    assert len(get_coordinates(g0)) == 5
+    g1 = wkb_loads(bytes(out[1]))
+    assert g1.geom_type == "LINESTRING"
+    got = [tuple(c) for c in get_coordinates(g1)]
+    assert got == [(10.0, 10.0), (0.0, 10.0), (0.0, 0.0), (10.0, 0.0), (11.0, 0.0)]
+
+
+def test_simplify_topo_none_and_unsupported_rows_preserved(spark):
+    """Reference: simplify_topo([None]) == [None] — rows must not
+    vanish from the output."""
+    import pandas as pd
+
+    from pygeoops_spark.geom import polygon, wkb_dumps
+    from pygeoops_spark.operators.simplify_topo import simplify_topo
+
+    poly1 = polygon([(10, 10), (0, 10), (0, 0), (10, 0)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": [0, 1], "wkb": [wkb_dumps(poly1), None]})
+    )
+    rows = {r["fid"]: r["simplified_wkb"] for r in simplify_topo(
+        df, "fid", "wkb", tolerance=1, algorithm="rdp"
+    ).collect()}
+    assert len(rows) == 2
+    assert rows[0] is not None
+    assert rows[1] is None
