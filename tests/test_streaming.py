@@ -70,7 +70,23 @@ def test_streaming_stateful_sessionization(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # with ProcessingTimeTimeout state the availableNow query keeps
+    # triggering empty batches to evaluate timeouts and never
+    # self-terminates — poll progress until the data batches are done
+    # (an empty batch after a non-empty one), then stop explicitly
+    import time as _time
+
+    seen_data = False
+    for _ in range(240):
+        lp = q.lastProgress
+        if lp is not None:
+            if lp["numInputRows"] > 0:
+                seen_data = True
+            elif seen_data:
+                break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in spark.sql("select * from closed_sessions").collect()
