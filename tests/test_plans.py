@@ -55,3 +55,45 @@ def test_tile_assignment_no_shuffle(spark, sf_dir):
     )
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure projection over the scan
+
+
+def test_jaccard_candidates_no_cartesian(spark, sf_dir):
+    """The prefix-filtered candidate join must be a hash/sort-merge
+    equi-join on the shingle hash — never a cartesian/nested-loop —
+    and the shuffled keys are 8-byte hashes, not shingle strings."""
+    from pygeoops_spark.text.dedup import _jaccard_candidates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(_jaccard_candidates(docs, "doc_id", "text", 3, 0.2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
+
+
+def test_dedup_embedding_single_scan_no_join(spark, sf_dir):
+    """cosine_dup_pairs streams the target table through ONE
+    mapInPandas matmul — there must be no join/cartesian in the plan
+    (the query set is a closed-over broadcast-by-construction matrix)."""
+    from pygeoops_spark.ann.cosine import cosine_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(cosine_dup_pairs(emb, threshold=0.4))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_connected_components_star_plan_is_aggregate_shaped(spark):
+    """One alternating-star round = groupBy aggregations over the edge
+    set; no cartesian products, no nested-loop joins."""
+    import pandas as pd
+
+    from pygeoops_spark.text.pipeline import _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 4]})
+    )
+    plan = _plan(_small_star(_large_star(edges)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
