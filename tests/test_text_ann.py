@@ -243,3 +243,47 @@ def test_cosine_dup_pairs_exact_and_guarded(emb):
 
     with _pytest.raises(ValueError, match="LSH-candidate path"):
         cosine_dup_pairs(emb, threshold=0.9, max_rows=10)
+
+
+def test_jaccard_prefix_filter_matches_bruteforce_randomized(spark):
+    """Completeness fuzz for the prefix filter: a seeded random corpus
+    with mixed lengths, exact duplicates, shared templates and
+    stop-shingles must produce EXACTLY the brute-force pair set at
+    several thresholds."""
+    import itertools
+    import random
+
+    import pandas as pd
+
+    from pygeoops_spark.text.dedup import jaccard_pairs
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        n_words = rng.randint(4, 25)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n_words)]
+        if i % 7 == 0:
+            words += ["the", "quick", "fox"]  # stop-shingle block
+        rows.append((i, " ".join(words)))
+    rows.append((100, rows[3][1]))  # exact duplicate
+    rows.append((101, rows[3][1] + " extra tail words here"))
+
+    def shingles(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))}
+
+    by_id = {i: shingles(t) for i, t in rows}
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for threshold in (0.2, 0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs(docs, n=3, threshold=threshold).collect()
+        }
+        want = set()
+        for a, b in itertools.combinations(sorted(by_id), 2):
+            inter = len(by_id[a] & by_id[b])
+            union = len(by_id[a] | by_id[b])
+            if union and inter / union >= threshold:
+                want.add((a, b, round(inter / union, 6)))
+        assert got == want, f"threshold={threshold}"
