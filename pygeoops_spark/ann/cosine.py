@@ -75,13 +75,15 @@ def cosine_topk_bruteforce(
             f"got > {max_query_rows} query rows. Raise max_query_rows "
             f"explicitly if intended, or use cosine_topk_lsh/ivf."
         )
+    id_dtype = targets.schema[t_id].dataType.simpleString()
+    schema = f"query_id {id_dtype}, neighbor_id {id_dtype}, cos_sim double"
+    if len(qpd) == 0:
+        empty = queries.sparkSession.createDataFrame([], schema)
+        return empty.withColumn("ann_rank", F.lit(0).cast("int"))
     q_ids = qpd["qid"].to_numpy()
     qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
     qnorm = np.linalg.norm(qmat, axis=1)
     qnorm[qnorm == 0] = 1.0
-
-    id_dtype = targets.schema[t_id].dataType.simpleString()
-    schema = f"query_id {id_dtype}, neighbor_id {id_dtype}, cos_sim double"
 
     def score(batches):
         for pdf in batches:
@@ -144,13 +146,14 @@ def cosine_dup_pairs(
             f"cosine_dup_pairs closes over the full vector set; got > "
             f"{max_rows} rows. Use the LSH-candidate path at scale."
         )
+    id_dtype = df.schema[id_col].dataType.simpleString()
+    schema = f"id_a {id_dtype}, id_b {id_dtype}, cos_sim double"
+    if len(qpd) == 0:
+        return df.sparkSession.createDataFrame([], schema)
     q_ids = qpd["qid"].to_numpy()
     qmat = np.array([np.asarray(v, dtype=np.float64) for v in qpd["qv"]])
     qnorm = np.linalg.norm(qmat, axis=1)
     qnorm[qnorm == 0] = 1.0
-
-    id_dtype = df.schema[id_col].dataType.simpleString()
-    schema = f"id_a {id_dtype}, id_b {id_dtype}, cos_sim double"
 
     def pairs(batches):
         for pdf in batches:
@@ -282,6 +285,8 @@ def _train_centroids(
         F.xxhash64(F.col(t_id)).alias("_h"),
     )
     pdf = s.orderBy("_h", "_id").limit(sample_rows).toPandas()
+    if len(pdf) == 0:
+        return np.zeros((0, 0))
     X = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
     nrm = np.linalg.norm(X, axis=1)
     nrm[nrm == 0] = 1.0
@@ -336,6 +341,12 @@ def cosine_topk_ivf(
     exactly one list and a probe's nprobe lists are distinct, so
     candidate pairs are already unique (one shuffle saved vs r01)."""
     C = _train_centroids(targets, t_id, t_vec, n_cells)
+    if len(C) == 0:
+        # empty target table: no lists, no neighbors
+        id_dtype = targets.schema[t_id].dataType.simpleString()
+        return targets.sparkSession.createDataFrame(
+            [], f"query_id {id_dtype}, neighbor_id {id_dtype}, cos_sim double, ann_rank int"
+        )
     t_cells = _cells_udf(C, 1)
     q_cells = _cells_udf(C, nprobe)
 

@@ -387,7 +387,13 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
         boxes.append((arr[:, 0].min(), arr[:, 1].min(), arr[:, 0].max(), arr[:, 1].max()))
 
     def _bbox_overlap(a, b):
-        return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+        # expanded by the shared-boundary tolerance: polygons whose
+        # bboxes are disjoint by less than SNAP*10 can still have
+        # near-coincident edges that _classify must see as on-boundary
+        eps = SNAP * 10
+        return not (
+            a[2] < b[0] - eps or b[2] < a[0] - eps or a[3] < b[1] - eps or b[3] < a[1] - eps
+        )
 
     keep: list[tuple[np.ndarray, np.ndarray]] = []
     directed_count: dict[tuple, int] = defaultdict(int)

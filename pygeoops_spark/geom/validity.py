@@ -121,7 +121,16 @@ def make_valid(
     t = geom.type_id
     if only_if_invalid and t in (POLYGON, MULTIPOLYGON):
         parts = [geom] if t == POLYGON else list(geom.data)
-        if all(polygon_is_simple(p) for p in parts):
+
+        def _shell_ok(p: Geometry) -> bool:
+            # exactly ONE simple loop: a zero-area (collapsed) shell
+            # yields 0 loops and is INVALID — it must fall through to
+            # the repair path so keep_collapsed semantics apply
+            if not p.data:
+                return True
+            return len(_ring_loops(np.asarray(p.data[0]))) == 1
+
+        if all(_shell_ok(p) for p in parts):
             return geom
     if t == POLYGON:
         return _make_valid_polygon(geom, keep_collapsed)

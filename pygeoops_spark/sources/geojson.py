@@ -165,12 +165,33 @@ def read_geojson_seq(
 ) -> DataFrame:
     """Read newline-delimited GeoJSON Features: properties become
     top-level columns (schema inferred by Spark's JSON reader, fully
-    distributed), the geometry becomes a WKB column."""
-    raw = spark.read.json(path)
-    props = raw.select("properties.*") if "properties" in raw.columns else raw
-    cols = [F.col(f"properties.{c}").alias(c) for c in props.columns]
+    distributed), the geometry becomes a WKB column.
+
+    The geometry field is re-read as a raw JSON STRING (schema
+    override): schema inference would otherwise merge the
+    incompatible `coordinates` nestings of mixed geometry types
+    (Point vs Polygon) into garbage. Features without a properties
+    object (or with null properties) yield a geometry-only frame."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    inferred = spark.read.json(path).schema
+    fields = []
+    props_struct = None
+    for f in inferred.fields:
+        if f.name == "geometry":
+            fields.append(StructField("geometry", StringType(), True))
+        else:
+            if f.name == "properties" and isinstance(f.dataType, StructType):
+                props_struct = f.dataType
+            fields.append(f)
+    if "geometry" not in {f.name for f in fields}:
+        fields.append(StructField("geometry", StringType(), True))
+    raw = spark.read.schema(StructType(fields)).json(path)
+    cols = []
+    if props_struct is not None:
+        cols = [F.col(f"properties.{c.name}").alias(c.name) for c in props_struct.fields]
     return raw.select(
-        *cols, geojson_geometry_col(F.to_json("geometry")).alias(geometry_col)
+        *cols, geojson_geometry_col(F.col("geometry")).alias(geometry_col)
     )
 
 

@@ -83,10 +83,16 @@ def sessionize_stream(
         for ts in ts_all:
             if last is not None and (ts - last).total_seconds() > gap_seconds:
                 closed.append((user, start, last, n))
-                start, n = None, 0
+                start, last, n = None, None, 0
             if start is None:
-                start = ts
-            last = ts
+                start, last = ts, ts
+            else:
+                # cross-batch late arrivals merge into the OPEN session
+                # (min/max, never regressing session_end — an event
+                # older than an already-closed session cannot reopen
+                # it; that is the watermark-less late-data policy)
+                start = min(start, ts)
+                last = max(last, ts)
             n += 1
         state.update((start, last, n))
         state.setTimeoutDuration(idle_flush_ms)

@@ -72,13 +72,24 @@ def connected_components(
         )
 
     prev = sig(e)
+    converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = sig(e2)
         e = e2
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # reading labels off a non-star edge set would emit conflicting
+        # component rows per node — fail loudly instead (O(log n)
+        # rounds means max_iter=25 covers graphs far beyond 10^7 nodes;
+        # raise max_iter for adversarial shapes)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"alternating-star rounds; raise max_iter"
+        )
     # star edges: (node, root) for every non-root node; add the roots
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("node")).distinct().withColumn(

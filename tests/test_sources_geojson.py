@@ -67,3 +67,38 @@ def test_geojson_seq_spark_roundtrip(spark):
         assert f["type"] == "Feature" and f["geometry"]["type"] == "Polygon"
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_geojson_seq_mixed_types_and_missing_properties(spark):
+    """Mixed geometry types in one file (schema inference would mangle
+    `coordinates`) and features without a properties object must both
+    read back correctly."""
+    import json as _json
+    import tempfile as _tf
+
+    from pygeoops_spark.geom.wkb import wkb_loads
+
+    d = _tf.mkdtemp(prefix="geojson_mixed_")
+    lines = [
+        '{"type": "Feature", "properties": {"name": "pt"}, "geometry": {"type": "Point", "coordinates": [1.0, 2.0]}}',
+        '{"type": "Feature", "properties": {"name": "poly"}, "geometry": {"type": "Polygon", "coordinates": [[[0.0,0.0],[3.0,0.0],[3.0,3.0],[0.0,0.0]]]}}',
+        '{"type": "Feature", "properties": {"name": "nullgeom"}, "geometry": null}',
+    ]
+    with open(f"{d}/part.json", "w") as f:
+        f.write("\n".join(lines))
+    from pygeoops_spark.sources.geojson import read_geojson_seq
+
+    back = read_geojson_seq(spark, d)
+    rows = {r["name"]: r["geometry_wkb"] for r in back.collect()}
+    assert wkb_loads(bytes(rows["pt"])).geom_type == "POINT"
+    assert wkb_loads(bytes(rows["poly"])).geom_type == "POLYGON"
+    assert rows["nullgeom"] is None
+
+    # no properties object at all -> geometry-only frame
+    d2 = _tf.mkdtemp(prefix="geojson_noprops_")
+    with open(f"{d2}/part.json", "w") as f:
+        f.write('{"type": "Feature", "geometry": {"type": "Point", "coordinates": [5.0, 6.0]}}\n')
+    back2 = read_geojson_seq(spark, d2)
+    assert back2.columns == ["geometry_wkb"]
+    g = wkb_loads(bytes(back2.first()["geometry_wkb"]))
+    assert g.geom_type == "POINT"

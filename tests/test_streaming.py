@@ -114,3 +114,78 @@ def test_streaming_stateful_sessionization(spark):
             want.add((r["user_id"], r["session_start"], r["session_end"], r["n_events"]))
     assert got == want
     assert len(want) > 0  # the fixture actually exercises closures
+
+
+def test_stateful_sessionizer_late_events_merge_into_open_session(spark):
+    """A late (out-of-order, cross-batch) event must merge into the
+    open session via min/max instead of regressing session_end and
+    triggering a spurious close (code-review r02 finding)."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from pygeoops_spark.streaming.sessions import sessionize_stream
+
+    base = _dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self._v = None
+
+    # grab the fold function by driving the closure directly
+    captured = {}
+
+    class Probe:
+        def __init__(self, df):
+            self.df = df
+
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, **kw):
+            captured["fn"] = fn
+            return self.df
+
+    import pygeoops_spark.streaming.sessions as S
+
+    dummy = spark.createDataFrame(pd.DataFrame({"user_id": [1], "ts": [base]}))
+    S.sessionize_stream(Probe(dummy), gap_seconds=1800)
+    fold = captured["fn"]
+
+    st = FakeState()
+    def run(ts_list):
+        return list(fold((1,), iter([pd.DataFrame({"ts": ts_list})]), st))
+
+    # batch 1: events at 10:00
+    run([base])
+    assert st.get == (base, base, 1)
+    # batch 2: LATE event at 9:00 -> merges (start regresses, end stays)
+    run([base - _dt.timedelta(hours=1)])
+    assert st.get == (base - _dt.timedelta(hours=1), base, 2)
+    # batch 3: event at 10:10 -> only 10 min after true last: SAME session
+    out = run([base + _dt.timedelta(minutes=10)])
+    assert all(len(df) == 0 for df in out)
+    assert st.get == (base - _dt.timedelta(hours=1), base + _dt.timedelta(minutes=10), 3)
+    # batch 4: event 2h later -> closes the merged session
+    out = run([base + _dt.timedelta(hours=3)])
+    closed = pd.concat(out)
+    assert len(closed) == 1
+    assert closed.iloc[0]["n_events"] == 3

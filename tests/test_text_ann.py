@@ -287,3 +287,20 @@ def test_jaccard_prefix_filter_matches_bruteforce_randomized(spark):
             if union and inter / union >= threshold:
                 want.add((a, b, round(inter / union, 6)))
         assert got == want, f"threshold={threshold}"
+
+
+def test_ann_empty_inputs_return_empty(spark, emb):
+    """Empty query/target frames return empty results instead of
+    crashing in the driver-side numpy paths (code-review r02)."""
+    from pyspark.sql import functions as F
+
+    from pygeoops_spark.ann.cosine import (
+        cosine_dup_pairs,
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    none = emb.where(F.col("vec_id") < 0)
+    assert cosine_topk_bruteforce(none, emb, k=3).count() == 0
+    assert cosine_topk_ivf(emb.limit(5), none, k=3).count() == 0
+    assert cosine_dup_pairs(none, threshold=0.5).count() == 0

@@ -115,3 +115,16 @@ def test_make_valid_only_if_invalid_fast_path():
     fixed = make_valid(bowtie, only_if_invalid=True)
     assert fixed.geom_type == "MULTIPOLYGON"
     assert len(fixed.data) == 2
+
+
+def test_make_valid_only_if_invalid_detects_collapsed_shell():
+    """A zero-area shell is INVALID: the fast path must fall through to
+    the repair path so keep_collapsed semantics apply (code-review r02
+    finding: 0 loops used to count as 'simple')."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.validity import make_valid
+
+    flat = polygon([(0, 0), (2, 0), (5, 0)])
+    fast = make_valid(flat, keep_collapsed=True, only_if_invalid=True)
+    slow = make_valid(flat, keep_collapsed=True)
+    assert fast.geom_type == slow.geom_type == "LINESTRING"
