@@ -360,6 +360,42 @@ def _q_simplify_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simplify_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep_points_on + preserve_topology driver evidence. Per dense
+    zone ring (101 coords): RDP alone keeps the 5 corners; forcing the
+    bottom edge's 26 on-line points via a PER-ROW keep geometry yields
+    26 + {50,75,100} = 29 kept; a huge tolerance with preserve_topology
+    returns the original ring (101), without it the degenerate result
+    is dropped (NULL)."""
+    from pygeoops_spark.geom import linestring as mk_line, wkb_dumps
+    from pygeoops_spark.operators.simplify import num_coords_col, simplify_col
+    from pyspark.sql.types import BinaryType
+
+    zones = _zones_wkb_df(spark).select(
+        "zone_id", "xmin", "ymin", "xmax", "zone_wkb_dense"
+    )
+
+    @F.pandas_udf(BinaryType())
+    def bottom_edge(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                wkb_dumps(mk_line([(a, b), (c, b)]))
+                for a, b, c in zip(xmin, ymin, xmax)
+            ]
+        )
+
+    zones = zones.withColumn("_keep", bottom_edge("xmin", "ymin", "xmax"))
+    kept = simplify_col("zone_wkb_dense", 0.1, "rdp", keep_points_on_wkb=F.col("_keep"))
+    preserved = simplify_col("zone_wkb_dense", 1e9, "rdp", preserve_topology=True)
+    unpreserved = simplify_col("zone_wkb_dense", 1e9, "rdp", preserve_topology=False)
+    return zones.select(
+        "zone_id",
+        num_coords_col(kept).alias("n_keep_points"),
+        num_coords_col(preserved).alias("n_preserved"),
+        unpreserved.isNull().cast("int").alias("dropped_without_preserve"),
+    )
+
+
 def _q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     """difference_all kernel: each zone minus two 20x20 boxes strictly
     inside it -> polygon with 2 holes. Oracle: pure arithmetic (area =
@@ -938,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_rdp": _q_simplify_rdp,
         "simplify_vw": _q_simplify_vw,
         "simplify_lang": _q_simplify_lang,
+        "simplify_modes": _q_simplify_modes,
         "difference": _q_difference,
         "subdivide": _q_subdivide,
         "centerline": _q_centerline,
@@ -1134,6 +1171,17 @@ def oracle_sql() -> dict[str, str]:
             -- the corner chord breaks the window -> corner kept; kept
             -- set = {0,8,16,24,25,...,99,100} = 17 for every zone
             SELECT i AS zone_id, 101 AS n_before, 17 AS n_after FROM range(64) t(i)
+        """,
+        "simplify_modes": """
+            -- keep_points_on bottom edge: indices 0..25 forced (26) +
+            -- rdp corners {50,75,100} = 29; preserve_topology at huge
+            -- tolerance returns the original 101-coord ring; without
+            -- it the degenerate result is dropped
+            SELECT i AS zone_id,
+                   29 AS n_keep_points,
+                   101 AS n_preserved,
+                   1 AS dropped_without_preserve
+            FROM range(64) t(i)
         """,
         "buffer_by_m": """
             -- constant-radius segment buffer = Minkowski sum of the

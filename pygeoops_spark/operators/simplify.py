@@ -25,11 +25,41 @@ def simplify_col(
     algorithm: str = "rdp",
     lookahead: int = 8,
     preserve_topology: bool = True,
-    keep_points_on_wkb: bytes | None = None,
+    keep_points_on_wkb: "bytes | Column | str | None" = None,
 ) -> Column:
     """Simplify each row's WKB geometry. `keep_points_on_wkb` is a
-    broadcast constant geometry whose points are never removed."""
+    geometry whose points are never removed — either a broadcast
+    constant (bytes) shared by every row, or a per-row WKB Column
+    (the SURVEY §2.1 'second WKB column' mapping of the reference's
+    arraylike keep_points_on)."""
     wkb_col = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
+    if isinstance(keep_points_on_wkb, (Column, str)):
+        kcol = (
+            F.col(keep_points_on_wkb)
+            if isinstance(keep_points_on_wkb, str)
+            else keep_points_on_wkb
+        )
+
+        @F.pandas_udf(BinaryType())
+        def _ud_pairs(wkbs: pd.Series, keeps: pd.Series) -> pd.Series:
+            out = []
+            for b, kb in zip(wkbs, keeps):
+                if b is None:
+                    out.append(None)
+                    continue
+                kpo = wkb_loads(bytes(kb)) if kb is not None else None
+                g = simplify_geometry(
+                    wkb_loads(bytes(b)),
+                    tolerance,
+                    algorithm,
+                    lookahead,
+                    preserve_topology,
+                    kpo,
+                )
+                out.append(wkb_dumps(g) if g is not None else None)
+            return pd.Series(out, dtype=object)
+
+        return _ud_pairs(wkb_col, kcol)
     kpo_bytes = keep_points_on_wkb
 
     @F.pandas_udf(BinaryType())
