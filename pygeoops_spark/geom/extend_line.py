@@ -49,6 +49,22 @@ def _extend_point(p1: np.ndarray, p2: np.ndarray, distance: float) -> np.ndarray
     return p2 + (p2 - p1) * ratio
 
 
+def extend_segment_by_ratio(
+    p1: tuple[float, float], p2: tuple[float, float], ratio: float
+) -> tuple[tuple[float, float], tuple[float, float]]:
+    """Extend segment p1->p2 past p2 by `ratio` of its own length
+    (reference `_extend_line._extend_segment_by_ratio`, behavior pinned
+    by its tests/test_extend_line.py:262-293 table incl. the
+    'ratio must be >= 0' contract)."""
+    if ratio < 0:
+        raise ValueError(f"ratio must be >= 0, received: {ratio}")
+    q = (
+        p2[0] + (p2[0] - p1[0]) * ratio,
+        p2[1] + (p2[1] - p1[1]) * ratio,
+    )
+    return ((p1[0], p1[1]), q)
+
+
 def _boundary_chains(extend_to: Geometry) -> list[np.ndarray]:
     """Coordinate chains forming the boundary of the target geometry."""
     chains = []

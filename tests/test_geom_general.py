@@ -286,3 +286,29 @@ def test_remove_inner_rings_geodesic_threshold():
     # planar interpretation would drop it at any metre-scale threshold
     planar = remove_inner_rings(poly, 1e6, crs_geographic=False)
     assert len(planar.data) == 1
+
+
+def test_extend_segment_by_ratio_table():
+    """Reference tests/test_extend_line.py:262-293 parameter table."""
+    from pygeoops_spark.geom.extend_line import extend_segment_by_ratio
+
+    cases = [
+        ((0, 0), (1, 1), 0, ((0, 0), (1, 1))),
+        ((0, 0), (1, 1), 1, ((0, 0), (2, 2))),
+        ((0, 0), (1, 1), 0.5, ((0, 0), (1.5, 1.5))),
+        ((1, 1), (0, 0), 0, ((1, 1), (0, 0))),
+        ((1, 1), (0, 0), 1, ((1, 1), (-1, -1))),
+        ((1, 1), (0, 0), 0.5, ((1, 1), (-0.5, -0.5))),
+        ((1, 0), (0, 1), 1, ((1, 0), (-1, 2))),
+        ((0, 1), (1, 0), 1, ((0, 1), (2, -1))),
+        ((0, 0), (1, 0), 0, ((0, 0), (1, 0))),
+        ((0, 0), (1, 0), 1, ((0, 0), (2, 0))),
+        ((0, 0), (1, 0), 0.5, ((0, 0), (1.5, 0))),
+        ((0, 0), (0, 1), 0, ((0, 0), (0, 1))),
+        ((0, 0), (0, 1), 1, ((0, 0), (0, 2))),
+        ((0, 0), (0, 1), 0.5, ((0, 0), (0, 1.5))),
+    ]
+    for p1, p2, ratio, exp in cases:
+        assert extend_segment_by_ratio(p1, p2, ratio) == exp
+    with pytest.raises(ValueError, match="ratio must be >= 0"):
+        extend_segment_by_ratio((0, 0), (1, 1), -1)
