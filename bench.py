@@ -120,6 +120,51 @@ def _run_simplify_50k(spark, n_polys: int = 50_000, algorithm: str = "rdp") -> i
     return n_polys
 
 
+def _run_difference_tiled(spark, n_polys: int = 1_000) -> int:
+    """Distributed difference_all_tiled: n densified polygons minus 8
+    shared subtrahend boxes, through the subdivide-explode ->
+    repartition(tile) -> kernel -> union-agg pipeline (the reference's
+    ThreadPool path mapped to partition parallelism)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.operators.difference import difference_all_tiled_distributed
+
+    subtrahends = [
+        wkb_dumps(
+            mk_poly([(sx, sy), (sx + 40, sy), (sx + 40, sy + 40), (sx, sy + 40)])
+        )
+        for sx, sy in [(i * 110.0, i * 70.0) for i in range(8)]
+    ]
+
+    @F.pandas_udf(BinaryType())
+    def dense_poly(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from pygeoops_spark.geom import polygon as mkp, wkb_dumps as wd
+
+        out = []
+        for i in ids:
+            w = 300 + (int(i) * 29) % 100
+            h = 200 + (int(i) * 7) % 80
+            x0, y0 = (int(i) % 64) * 15.0, (int(i) // 64 % 64) * 11.0
+            corners = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            ring = []
+            for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1]):
+                for t in np.linspace(0, 1, 26)[:-1]:
+                    ring.append((ax + (bx - ax) * t, ay + (by - ay) * t))
+            out.append(wd(mkp(ring)))
+        return pd.Series(out)
+
+    df = spark.range(n_polys).select(
+        F.col("id").alias("fid"), dense_poly("id").alias("wkb")
+    )
+    out = difference_all_tiled_distributed(df, "fid", "wkb", subtrahends, subdivide_coords=40)
+    out.where(F.col("result_wkb").isNotNull()).count()
+    return n_polys
+
+
 def _run_buffer_20k(spark, n_lines: int = 20_000) -> int:
     """Reference-comparable workload: buffer_by_m over n 7-vertex
     M-lines with per-vertex radii (mirrors the reference benchmark's
@@ -278,6 +323,13 @@ def main() -> None:
     dt = time.time() - t0
     results["centerline_8k"] = round(dt, 3)
     throughput["centerline_ops_per_sec"] = round(n_c / dt, 1)
+
+    t0 = time.time()
+    n_d = max(int(1_000 * kern_scale), 200)
+    _run_difference_tiled(spark, n_d)
+    dt = time.time() - t0
+    results["difference_tiled_1k"] = round(dt, 3)
+    throughput["difference_geoms_per_sec"] = round(n_d / dt, 1)
 
     total = time.time() - t_total0
     spark.stop()

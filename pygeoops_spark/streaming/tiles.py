@@ -37,6 +37,19 @@ def assign_stream_to_grid(
     return out
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys within the watermark
+    horizon (state is bounded by the watermark — the streaming analog
+    of the batch exact_dedup groupBy; at-most-once per key within the
+    late-data window)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+
+
 def windowed_tile_counts(
     stream: DataFrame,
     ts_col: str,

@@ -189,3 +189,35 @@ def test_stateful_sessionizer_late_events_merge_into_open_session(spark):
     closed = pd.concat(out)
     assert len(closed) == 1
     assert closed.iloc[0]["n_events"] == 3
+
+
+def test_streaming_dedup_drops_repeats(spark):
+    """Watermarked streaming dedup: a batch replayed through the file
+    source with duplicated keys emits each key once."""
+    import tempfile as _tf
+
+    from pygeoops_spark.streaming.tiles import dedup_stream
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "ts", "event_type")
+        # watermarks require TIMESTAMP (the table stores TIMESTAMP_NTZ)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    dup = events.unionByName(events)  # every row twice
+    src = _tf.mkdtemp(prefix="stream_dedup_")
+    dup.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(dup.schema).parquet(src)
+    out = dedup_stream(stream, ["user_id", "ts", "event_type"], "ts", "365 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) c from deduped").first()["c"]
+    want = events.distinct().count()
+    assert got == want
