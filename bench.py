@@ -120,11 +120,13 @@ def _run_simplify_50k(spark, n_polys: int = 50_000, algorithm: str = "rdp") -> i
     return n_polys
 
 
-def _run_difference_tiled(spark, n_polys: int = 1_000) -> int:
-    """Distributed difference_all_tiled: n densified polygons minus 8
-    shared subtrahend boxes, through the subdivide-explode ->
+def _run_difference_tiled(spark, n_polys: int = 200) -> int:
+    """Distributed difference_all_tiled: n LARGE (801-coord) polygons
+    minus 8 shared subtrahend boxes, through the subdivide-explode ->
     repartition(tile) -> kernel -> union-agg pipeline (the reference's
-    ThreadPool path mapped to partition parallelism)."""
+    ThreadPool path mapped to partition parallelism). Large inputs are
+    the case tiling exists for — subdividing small polygons is pure
+    overhead (the reference only tiles past subdivide_coords too)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import BinaryType
 
@@ -152,7 +154,7 @@ def _run_difference_tiled(spark, n_polys: int = 1_000) -> int:
             corners = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
             ring = []
             for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1]):
-                for t in np.linspace(0, 1, 26)[:-1]:
+                for t in np.linspace(0, 1, 201)[:-1]:
                     ring.append((ax + (bx - ax) * t, ay + (by - ay) * t))
             out.append(wd(mkp(ring)))
         return pd.Series(out)
@@ -160,7 +162,7 @@ def _run_difference_tiled(spark, n_polys: int = 1_000) -> int:
     df = spark.range(n_polys).select(
         F.col("id").alias("fid"), dense_poly("id").alias("wkb")
     )
-    out = difference_all_tiled_distributed(df, "fid", "wkb", subtrahends, subdivide_coords=40)
+    out = difference_all_tiled_distributed(df, "fid", "wkb", subtrahends, subdivide_coords=200)
     out.where(F.col("result_wkb").isNotNull()).count()
     return n_polys
 
@@ -325,10 +327,10 @@ def main() -> None:
     throughput["centerline_ops_per_sec"] = round(n_c / dt, 1)
 
     t0 = time.time()
-    n_d = max(int(1_000 * kern_scale), 200)
+    n_d = max(int(200 * kern_scale), 50)
     _run_difference_tiled(spark, n_d)
     dt = time.time() - t0
-    results["difference_tiled_1k"] = round(dt, 3)
+    results["difference_tiled_200"] = round(dt, 3)
     throughput["difference_geoms_per_sec"] = round(n_d / dt, 1)
 
     total = time.time() - t_total0
