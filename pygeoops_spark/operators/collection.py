@@ -71,7 +71,16 @@ def collect_agg(
             )
         return pd.DataFrame(row)
 
-    return gdf.groupBy(*group_cols).applyInPandas(run, schema)
+    # explicit repartition on the group keys: the grouped-map kernel is
+    # CPU-bound over tiny WKB bytes, so AQE's size-based coalescing
+    # would serialize it into one task; an explicit count is respected
+    # and satisfies the groupBy's clustering (no extra exchange).
+    npart = gdf.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        gdf.repartition(npart, *[F.col(c) for c in group_cols])
+        .groupBy(*group_cols)
+        .applyInPandas(run, schema)
+    )
 
 
 def _scalar_wkb_udf(fn):

@@ -324,7 +324,17 @@ def simplify_topo(
             g = multi(GEOMETRYCOLLECTION, parts)
         return pd.DataFrame({id_col: [fid], "simplified_wkb": [wkb_dumps(g)]})
 
-    out = noded.groupBy("fid").applyInPandas(simplify_feature, out_schema)
+    # explicit repartition(fid): the per-feature simplify kernel is
+    # CPU-bound over tiny segment rows — AQE would coalesce the final
+    # exchange to one task and serialize it; the explicit count is
+    # respected and satisfies the groupBy clustering (same exchange
+    # count, just not collapsed).
+    npart = noded.sparkSession.sparkContext.defaultParallelism * 2
+    out = (
+        noded.repartition(npart, F.col("fid"))
+        .groupBy("fid")
+        .applyInPandas(simplify_feature, out_schema)
+    )
     # preserve input rows: None / empty / unsupported-type features
     # produce no segments but must come back as NULL, not vanish
     # (reference: simplify_topo([None]) == [None])
