@@ -21,6 +21,7 @@ import numpy as np
 from pygeoops_spark.geom.general import collect, collection_extract, subdivide
 from pygeoops_spark.geom.kernels import get_primitivetype_id, points_in_polygon
 from pygeoops_spark.geom.overlay import (
+    dissolve_partition,
     line_difference,
     polygon_difference,
     polygon_union,
@@ -151,8 +152,10 @@ def difference_all_tiled(
         return empty(geometry.type_id)
     if len(results) == 1:
         return results[0]
-    # merge tile results: polygons union back together (shared tile
-    # edges cancel); other types collect
+    # merge tile results: polygons dissolve back together (tile pieces
+    # are interior-disjoint with axis-aligned shared cuts — the signed-
+    # coverage dissolve is O(E log E) and falls back to polygon_union
+    # on any contract violation); other types collect
     if all(p.type_id in (POLYGON, MULTIPOLYGON) for p in results):
-        return polygon_union(results)
+        return dissolve_partition(results)
     return collect(results)

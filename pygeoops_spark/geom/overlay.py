@@ -431,6 +431,113 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
     return _rings_to_polygons(rings, flat[0].dims)
 
 
+def dissolve_partition(polys: list[Geometry]) -> Geometry | None:
+    """Union of interior-disjoint polygons whose shared boundaries lie
+    on axis-aligned lines — the exact shape produced by subdivide tiling
+    (+ per-tile difference), which cuts on vertical/horizontal lines.
+
+    Instead of polygon_union's pairwise noding + point-in-polygon
+    classification (quadratic in coordinates for a tile fan-out), shared
+    boundaries are cancelled by signed 1D coverage per cut line: every
+    axis-aligned directed edge becomes a signed interval on its line;
+    summing coverage over elementary intervals cancels the anti-directed
+    overlap between neighbouring tiles even when the two sides split the
+    shared edge at different points. Surviving segments + all
+    non-axis-aligned edges stitch into rings as usual.
+
+    Input contract: pieces are interior-disjoint (tile results are, by
+    construction). Violations that surface at the boundary level —
+    coincident same-direction segments (|coverage| > 1), shared diagonal
+    edges, stitch failures — are detected via interval algebra plus an
+    area-conservation check (union area of a partition == sum of part
+    areas) and fall back to the general polygon_union. Fully interior
+    overlaps without coincident boundaries are NOT detected (both sides
+    of the area check see the same sum) — don't call this on arbitrary
+    possibly-overlapping sets; use polygon_union there.
+
+    Mirrors the recombination semantics of the reference's
+    difference_all_tiled (shapely.unary_union over interior-disjoint
+    tile results, /root/reference/pygeoops/_difference.py:103-110).
+    """
+    from pygeoops_spark.geom.kernels import polygon_area
+
+    flat = [p for g in polys if g is not None for p in _as_polys(g)]
+    flat = [p for p in flat if p.data and abs(ring_signed_area(np.asarray(p.data[0]))) > 0]
+    if not flat:
+        return None
+    if len(flat) == 1:
+        return flat[0]
+
+    keep: list[tuple[np.ndarray, np.ndarray]] = []
+    # line buckets: snapped coordinate -> list of (lo, hi, sign, coord)
+    vert: dict[int, list] = defaultdict(list)
+    horiz: dict[int, list] = defaultdict(list)
+    ok = True
+    for p in flat:
+        for a, b in _poly_edges(p):
+            if a[0] == b[0]:
+                sign = 1 if b[1] > a[1] else -1
+                lo, hi = (a[1], b[1]) if sign == 1 else (b[1], a[1])
+                vert[round(a[0] / SNAP)].append((lo, hi, sign, a[0]))
+            elif a[1] == b[1]:
+                sign = 1 if b[0] > a[0] else -1
+                lo, hi = (a[0], b[0]) if sign == 1 else (b[0], a[0])
+                horiz[round(a[1] / SNAP)].append((lo, hi, sign, a[1]))
+            else:
+                keep.append((a, b))
+
+    def _emit(bucket: dict[int, list], vertical: bool) -> bool:
+        for ivals in bucket.values():
+            if len(ivals) == 1:
+                lo, hi, sign, c = ivals[0]
+                pts = ((c, lo), (c, hi)) if vertical else ((lo, c), (hi, c))
+                a, b = (pts if sign == 1 else pts[::-1])
+                keep.append((np.array(a), np.array(b)))
+                continue
+            # elementary breakpoints (snap-deduped, keep representative float)
+            reps: dict[int, float] = {}
+            for lo, hi, _s, _c in ivals:
+                reps.setdefault(round(lo / SNAP), lo)
+                reps.setdefault(round(hi / SNAP), hi)
+            keys = sorted(reps, key=lambda k: reps[k])
+            idx = {k: i for i, k in enumerate(keys)}
+            cov = [0] * len(keys)
+            for lo, hi, sign, _c in ivals:
+                cov[idx[round(lo / SNAP)]] += sign
+                cov[idx[round(hi / SNAP)]] -= sign
+            c = ivals[0][3]
+            run_sign, run_start = 0, 0.0
+            net = 0
+            for i, k in enumerate(keys):
+                net += cov[i]
+                v = reps[k]
+                if run_sign and (i == len(keys) - 1 or net != run_sign):
+                    a = (c, run_start) if vertical else (run_start, c)
+                    b = (c, v) if vertical else (v, c)
+                    if run_sign == 1:
+                        keep.append((np.array(a), np.array(b)))
+                    else:
+                        keep.append((np.array(b), np.array(a)))
+                    run_sign = 0
+                if net != 0 and run_sign == 0 and i < len(keys) - 1:
+                    if abs(net) > 1:
+                        return False  # pieces overlap: not a partition
+                    run_sign, run_start = net, v
+            if net != 0:
+                return False  # unbalanced interval algebra
+        return True
+
+    ok = _emit(vert, True) and _emit(horiz, False)
+    result = _rings_to_polygons(_stitch(keep), flat[0].dims) if ok else None
+    target = sum(polygon_area(p) for p in flat)
+    if (
+        result is None
+        or abs(polygon_area(result) - target) > 1e-8 * max(target, 1.0)
+    ):
+        return polygon_union(polys)
+    return result
+
+
 def line_intersection(line_coords: np.ndarray, poly: Geometry) -> list[np.ndarray]:
     """Line clipped to polygon: split at boundary crossings, keep pieces
     whose midpoint is inside."""

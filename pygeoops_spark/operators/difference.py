@@ -24,7 +24,7 @@ from pyspark.sql.types import ArrayType, BinaryType, DoubleType, IntegerType, St
 
 from pygeoops_spark.geom.difference import difference_all
 from pygeoops_spark.geom.general import subdivide as subdivide_kernel
-from pygeoops_spark.geom.overlay import polygon_union
+from pygeoops_spark.geom.overlay import dissolve_partition
 from pygeoops_spark.geom.wkb import wkb_dumps, wkb_loads
 
 
@@ -151,7 +151,11 @@ def difference_all_tiled_distributed(
             if not geoms:
                 out.append(None)
                 continue
-            u = polygon_union(geoms) if len(geoms) > 1 else geoms[0]
+            # subdivide tiles are interior-disjoint with axis-aligned
+            # shared cuts: signed-coverage dissolve is O(E log E) vs
+            # polygon_union's pairwise noding (and falls back to it if
+            # the partition property ever fails its area check)
+            u = dissolve_partition(geoms) if len(geoms) > 1 else geoms[0]
             out.append(wkb_dumps(u) if u else None)
         return pd.Series(out, dtype=object)
 

@@ -183,3 +183,105 @@ def test_union_shared_edge_squares_still_merges():
     u = polygon_union([box(0, 0, 1, 1), box(1, 0, 2, 1)])
     assert polygon_area(u) == pytest.approx(2.0)
     assert u.geom_type == "POLYGON"
+
+
+# -- dissolve_partition (signed-coverage tile dissolve) --------------------
+def _dp(parts):
+    from pygeoops_spark.geom.overlay import dissolve_partition
+
+    return dissolve_partition(parts)
+
+
+def test_dissolve_grid_partition_rectangle():
+    # 2x2 grid of unit tiles dissolves back into one square
+    tiles = [box(i, j, i + 1, j + 1) for i in range(2) for j in range(2)]
+    g = _dp(tiles)
+    assert g.geom_type == "POLYGON"
+    assert polygon_area(g) == pytest.approx(4.0)
+    # all interior seams cancelled: only the 4 outer corners remain
+    ring = np.asarray(g.data[0])
+    assert len(ring) <= 9  # corners + possible collinear breakpoints
+
+
+def test_dissolve_mismatched_shared_edge_splits():
+    # left tile's right edge is one segment [0,2]; the two right tiles
+    # split the same line at y=1 — signed coverage must still cancel
+    left = box(0, 0, 1, 2)
+    right_lo = box(1, 0, 2, 1)
+    right_hi = box(1, 1, 2, 2)
+    g = _dp([left, right_lo, right_hi])
+    assert polygon_area(g) == pytest.approx(4.0)
+    assert g.geom_type == "POLYGON"
+
+
+def test_dissolve_partial_shared_edge():
+    # shared edge covers only part of the line: the rest must survive
+    a = box(0, 0, 1, 3)
+    b = box(1, 1, 2, 2)  # touches only y in [1,2]
+    g = _dp([a, b])
+    assert polygon_area(g) == pytest.approx(4.0)
+    assert g.geom_type == "POLYGON"
+
+
+def test_dissolve_preserves_holes():
+    # a tile with a hole (subtrahend strictly inside): the hole survives
+    holed = polygon(
+        [(0, 0), (2, 0), (2, 2), (0, 2)],
+        holes=[[(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)]],
+    )
+    g = _dp([holed, box(2, 0, 3, 2)])
+    assert polygon_area(g) == pytest.approx(2 * 3 - 1.0)
+    assert len(g.data) == 2  # shell + hole
+
+
+def test_dissolve_disjoint_pieces_multipolygon():
+    g = _dp([box(0, 0, 1, 1), box(5, 0, 6, 1)])
+    assert g.geom_type == "MULTIPOLYGON"
+    assert polygon_area(g) == pytest.approx(2.0)
+
+
+def test_dissolve_duplicate_piece_falls_back_to_union():
+    # coincident boundaries with |coverage| > 1 (here: the same tile
+    # twice) violate the partition contract at the boundary level and
+    # trigger the polygon_union fallback, keeping the result correct
+    g = _dp([box(0, 0, 2, 2), box(0, 0, 2, 2)])
+    assert polygon_area(g) == pytest.approx(4.0)
+    assert g.geom_type == "POLYGON"
+
+
+def test_dissolve_matches_union_on_tiled_difference():
+    # end-to-end parity on the real pipeline shape: subdivide + per-tile
+    # difference, dissolve vs general union (area + part/hole structure)
+    from pygeoops_spark.geom.general import subdivide
+    from pygeoops_spark.geom.wkb import POLYGON as PID, get_parts
+
+    def struct(g):
+        ps = [q for q in get_parts(g) if q.type_id == PID]
+        return (len(ps), sum(len(q.data) - 1 for q in ps))
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        w, h = 30 + trial * 7, 22 + trial * 5
+        ring = []
+        corners = [(0, 0), (w, 0), (w, h), (0, h)]
+        for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1]):
+            for t in np.linspace(0, 1, 41)[:-1]:
+                ring.append((ax + (bx - ax) * t, ay + (by - ay) * t))
+        poly = polygon(ring)
+        subs = [
+            box(x, y, x + rng.uniform(3, 12), y + rng.uniform(3, 12))
+            for x, y in rng.uniform(0, max(w, h) * 0.8, size=(5, 2))
+        ]
+        tiles = subdivide(poly, 40)
+        tiles = tiles if isinstance(tiles, list) else [tiles]
+        parts = [
+            r
+            for t in tiles
+            if (r := difference_all(t, subs, check_intersects=True)) is not None
+        ]
+        if len(parts) < 2:
+            continue
+        u_ref = polygon_union(parts)
+        u_new = _dp(parts)
+        assert polygon_area(u_new) == pytest.approx(polygon_area(u_ref), rel=1e-9)
+        assert struct(u_new) == struct(u_ref)
