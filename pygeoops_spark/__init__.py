@@ -18,3 +18,101 @@ Design rules (enforced throughout):
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level API (PEP 562): every reference-parity kernel and every
+# Spark-level operator is importable as pygeoops_spark.<name>, without
+# paying submodule import cost at package import (executors import this
+# package inside every pandas-UDF worker — keep it instant).
+_EXPORTS = {
+    # reference-parity scalar kernels (geometry in / geometry out;
+    # reference: pygeoops/__init__.py re-exports of _general/_grid/...)
+    "centerline": "pygeoops_spark.geom.centerline",
+    "average_width": "pygeoops_spark.geom.centerline",
+    "compactness": "pygeoops_spark.geom.centerline",
+    "simplify": "pygeoops_spark.geom.simplify_geom",
+    "simplify_geometry": "pygeoops_spark.geom.simplify_geom",
+    "buffer_by_m": "pygeoops_spark.geom.buffer_by_m",
+    "view_angles": "pygeoops_spark.geom.view_angles",
+    "difference_all": "pygeoops_spark.geom.difference",
+    "difference_all_tiled": "pygeoops_spark.geom.difference",
+    "extend_line_by_distance": "pygeoops_spark.geom.extend_line",
+    "extend_line_to_geometry": "pygeoops_spark.geom.extend_line",
+    "extend_segment_by_ratio": "pygeoops_spark.geom.extend_line",
+    "collect": "pygeoops_spark.geom.general",
+    "collection_extract": "pygeoops_spark.geom.general",
+    "get_parts_recursive": "pygeoops_spark.geom.general",
+    "remove_inner_rings": "pygeoops_spark.geom.general",
+    "subdivide": "pygeoops_spark.geom.general",
+    "make_valid": "pygeoops_spark.geom.validity",
+    "format_short": "pygeoops_spark.geom.types",
+    "get_primitivetype_id": "pygeoops_spark.geom.kernels",
+    "empty": "pygeoops_spark.geom.wkb",
+    "wkb_dumps": "pygeoops_spark.geom.wkb",
+    "wkb_loads": "pygeoops_spark.geom.wkb",
+    "wkt_dumps": "pygeoops_spark.geom.wkb",
+    "wkt_loads": "pygeoops_spark.geom.wkb",
+    "polygon_union": "pygeoops_spark.geom.overlay",
+    "dissolve_partition": "pygeoops_spark.geom.overlay",
+    # Spark Column / DataFrame operators
+    "centerline_col": "pygeoops_spark.operators.centerline",
+    "buffer_by_m_col": "pygeoops_spark.operators.centerline",
+    "simplify_col": "pygeoops_spark.operators.simplify",
+    "simplify_topo": "pygeoops_spark.operators.simplify_topo",
+    "view_angles_col": "pygeoops_spark.operators.view_angles",
+    "view_angles_pairs": "pygeoops_spark.operators.view_angles",
+    "difference_all_col": "pygeoops_spark.operators.difference",
+    "difference_all_tiled_distributed": "pygeoops_spark.operators.difference",
+    "subdivide_col": "pygeoops_spark.operators.difference",
+    "collect_agg": "pygeoops_spark.operators.collection",
+    "collection_extract_col": "pygeoops_spark.operators.collection",
+    "remove_inner_rings_col": "pygeoops_spark.operators.collection",
+    "extend_line_by_distance_col": "pygeoops_spark.operators.collection",
+    "extend_line_to_geometry_col": "pygeoops_spark.operators.collection",
+    "create_grid": "pygeoops_spark.operators.grid",
+    "create_grid2": "pygeoops_spark.operators.grid",
+    "create_grid3": "pygeoops_spark.operators.grid",
+    "split_tiles": "pygeoops_spark.operators.grid",
+    "assign_to_grid": "pygeoops_spark.operators.grid",
+    # spatial-join layer
+    "cell_id": "pygeoops_spark.join.cells",
+    "cover_cells_bbox": "pygeoops_spark.join.cells",
+    "pip_join_rects": "pygeoops_spark.join.pip",
+    "pip_join_polygons": "pygeoops_spark.join.pip",
+    "knn_join": "pygeoops_spark.join.knn",
+    "bbox_join": "pygeoops_spark.join.bbox",
+    # text / dedup / ann pipeline
+    "exact_dedup": "pygeoops_spark.text.dedup",
+    "jaccard_pairs": "pygeoops_spark.text.dedup",
+    "minhash_lsh_pairs": "pygeoops_spark.text.dedup",
+    "simhash_pairs": "pygeoops_spark.text.dedup",
+    "connected_components": "pygeoops_spark.text.pipeline",
+    "sessionize": "pygeoops_spark.text.pipeline",
+    "quality_features": "pygeoops_spark.text.quality",
+    "langid": "pygeoops_spark.text.quality",
+    "extract_text": "pygeoops_spark.text.quality",
+    "cosine_topk_bruteforce": "pygeoops_spark.ann.cosine",
+    "cosine_topk_lsh": "pygeoops_spark.ann.cosine",
+    "cosine_topk_ivf": "pygeoops_spark.ann.cosine",
+    # sources / streaming / checkpointed runs
+    "read_geojson_seq": "pygeoops_spark.sources.geojson",
+    "write_geojson_seq": "pygeoops_spark.sources.geojson",
+    "sessionize_stream": "pygeoops_spark.streaming.sessions",
+    "assign_stream_to_grid": "pygeoops_spark.streaming.tiles",
+    "run_checkpointed": "pygeoops_spark.run.checkpoint",
+    "get_spark": "pygeoops_spark.session",
+}
+
+
+def __getattr__(name: str):
+    target = _EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module 'pygeoops_spark' has no attribute {name!r}")
+    import importlib
+
+    obj = getattr(importlib.import_module(target), name)
+    globals()[name] = obj  # cache for next access
+    return obj
+
+
+def __dir__():
+    return sorted(set(globals()) | set(_EXPORTS))
