@@ -26,12 +26,22 @@ from pygeoops_spark.geom.wkb import (
 )
 
 
+_UNIT_CIRCLES: dict[int, np.ndarray] = {}
+
+
 def circle_coords(cx: float, cy: float, r: float, quad_segs: int = 8) -> np.ndarray:
     """Closed CCW circle approximation with 4*quad_segs vertices."""
-    n = 4 * quad_segs
-    ang = np.linspace(0.0, 2.0 * math.pi, n, endpoint=False)
-    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
-    return np.vstack([ring, ring[:1]])
+    unit = _UNIT_CIRCLES.get(quad_segs)
+    if unit is None:
+        n = 4 * quad_segs
+        ang = np.linspace(0.0, 2.0 * math.pi, n, endpoint=False)
+        ring = np.column_stack([np.cos(ang), np.sin(ang)])
+        unit = np.vstack([ring, ring[:1]])
+        _UNIT_CIRCLES[quad_segs] = unit
+    out = unit * r
+    out[:, 0] += cx
+    out[:, 1] += cy
+    return out
 
 
 def _coords_with_distance(part: Geometry) -> np.ndarray | None:

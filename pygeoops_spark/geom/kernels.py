@@ -144,9 +144,24 @@ def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarr
     """
     x1, y1 = ring[:-1, 0], ring[:-1, 1]
     x2, y2 = ring[1:, 0], ring[1:, 1]
-    inside = np.zeros(len(px), dtype=bool)
+    m, n = len(px), len(x1)
+    # 2D broadcast path: one (points x edges) crossing matrix beats the
+    # per-edge Python loop by ~10x for the overlay-classify shapes
+    # (tens of midpoints x tens of edges); capped so a big PIP batch
+    # against a huge ring can't allocate an m*n monster
+    if 64 <= m * n <= 2_000_000:
+        cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+        dy = y2 - y1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xs = (x2 - x1)[None, :] * (py[:, None] - y1[None, :]) / dy[
+                None, :
+            ] + x1[None, :]
+        # cond is False wherever dy == 0, masking the inf/nan xs there
+        cross = cond & (px[:, None] < xs)
+        return (cross.sum(axis=1) & 1).astype(bool)
+    inside = np.zeros(m, dtype=bool)
     # For each edge: does a ray cast in +x from the point cross it?
-    for j in range(len(x1)):
+    for j in range(n):
         cond = (y1[j] > py) != (y2[j] > py)
         if not cond.any():
             continue
@@ -365,25 +380,27 @@ def convex_hull_coords(coords: np.ndarray) -> np.ndarray:
     pts = np.unique(coords[:, :2], axis=0)
     if len(pts) <= 2:
         return pts
-    # lexicographic sort is given by np.unique
+    # lexicographic sort is given by np.unique. The chain walks plain
+    # Python floats (tolist once): numpy scalar indexing inside the
+    # loop was the profiled cost, and np.cross pays moveaxis overhead
+    # per call.
+    plist = pts.tolist()
+
     def half(points):
-        # scalar 2D cross — np.cross pays moveaxis overhead per call
-        # (profiled 40% of buffer_by_m's kernel time)
-        out: list[np.ndarray] = []
-        for pt in points:
-            px, py = pt[0], pt[1]
+        out: list[list[float]] = []
+        for px, py in points:
             while len(out) >= 2:
-                bx_, by_ = out[-1][0], out[-1][1]
-                ox, oy = out[-2][0], out[-2][1]
+                bx_, by_ = out[-1]
+                ox, oy = out[-2]
                 if (bx_ - ox) * (py - oy) - (by_ - oy) * (px - ox) <= 0:
                     out.pop()
                 else:
                     break
-            out.append(pt)
+            out.append([px, py])
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(plist)
+    upper = half(plist[::-1])
     hull = np.array(lower[:-1] + upper[:-1])
     return np.vstack([hull, hull[:1]])
 

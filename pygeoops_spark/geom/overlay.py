@@ -110,54 +110,69 @@ def _node_edges(
         return edges
     o1 = np.array([e[0] for e in all_other])
     o2 = np.array([e[1] for e in all_other])
-    ob = np.column_stack(
-        [
-            np.minimum(o1[:, 0], o2[:, 0]),
-            np.minimum(o1[:, 1], o2[:, 1]),
-            np.maximum(o1[:, 0], o2[:, 0]),
-            np.maximum(o1[:, 1], o2[:, 1]),
-        ]
-    )
+    ob_lo = np.minimum(o1, o2)
+    ob_hi = np.maximum(o1, o2)
     s_all = o2 - o1
-    out = []
-    for a, b in edges:
-        lo_x, hi_x = min(a[0], b[0]), max(a[0], b[0])
-        lo_y, hi_y = min(a[1], b[1]), max(a[1], b[1])
-        cand = np.nonzero(
-            (ob[:, 0] <= hi_x) & (ob[:, 2] >= lo_x) & (ob[:, 1] <= hi_y) & (ob[:, 3] >= lo_y)
-        )[0]
-        d = b - a
-        dd = float(d @ d)
-        cuts: list[float] = []
-        if 0 < len(cand) < 8:
-            # tiny candidate sets: scalar beats numpy call overhead
-            for idx in cand:
-                for ip in _seg_intersections(a, b, o1[idx], o2[idx]):
-                    t1 = float((ip - a) @ d) / dd
+    n_e, n_o = len(edges), len(all_other)
+    e1 = np.array([e[0] for e in edges])
+    e2 = np.array([e[1] for e in edges])
+    d_all = e2 - e1
+    eb_lo = np.minimum(e1, e2)
+    eb_hi = np.maximum(e1, e2)
+    # one blocked (edges x others) pass: bbox candidate matrix, then a
+    # single vectorized intersection solve over the surviving pairs —
+    # replaces the per-edge Python loop (the profiled hot spot of every
+    # union/difference). Block size caps the bool matrix at ~4M cells.
+    cuts_per_edge: list[list[float] | None] = [None] * n_e
+    blk = max(1, 4_000_000 // max(n_o, 1))
+    for b0 in range(0, n_e, blk):
+        b1 = min(n_e, b0 + blk)
+        cand = (
+            (eb_lo[b0:b1, None, 0] <= ob_hi[None, :, 0])
+            & (eb_hi[b0:b1, None, 0] >= ob_lo[None, :, 0])
+            & (eb_lo[b0:b1, None, 1] <= ob_hi[None, :, 1])
+            & (eb_hi[b0:b1, None, 1] >= ob_lo[None, :, 1])
+        )
+        ii, jj = np.nonzero(cand)
+        if not len(ii):
+            continue
+        ii = ii + b0
+        d = d_all[ii]
+        s = s_all[jj]
+        qp = o1[jj] - e1[ii]
+        denom = d[:, 0] * s[:, 1] - d[:, 1] * s[:, 0]
+        gen = denom != 0
+        if gen.any():
+            t = (qp[gen, 0] * s[gen, 1] - qp[gen, 1] * s[gen, 0]) / denom[gen]
+            u = (qp[gen, 0] * d[gen, 1] - qp[gen, 1] * d[gen, 0]) / denom[gen]
+            m = (t > 1e-12) & (t < 1 - 1e-12) & (u >= 0.0) & (u <= 1.0)
+            for i_e, t_v in zip(ii[gen][m].tolist(), t[m].tolist()):
+                if cuts_per_edge[i_e] is None:
+                    cuts_per_edge[i_e] = []
+                cuts_per_edge[i_e].append(t_v)
+        if not gen.all():
+            # collinear candidates (denom == 0 with zero cross — rare):
+            # scalar overlap-endpoint helper
+            coll = ~gen & (qp[:, 0] * d[:, 1] - qp[:, 1] * d[:, 0] == 0)
+            for i_e, j_o in zip(ii[coll].tolist(), jj[coll].tolist()):
+                a, b = edges[i_e]
+                dv = d_all[i_e]
+                dd = float(dv @ dv)
+                if dd == 0:
+                    continue
+                for ip in _seg_intersections(a, b, o1[j_o], o2[j_o]):
+                    t1 = float((ip - a) @ dv) / dd
                     if 1e-12 < t1 < 1 - 1e-12:
-                        cuts.append(t1)
-        elif len(cand):
-            s = s_all[cand]
-            qp = o1[cand] - a
-            denom = d[0] * s[:, 1] - d[1] * s[:, 0]
-            general = denom != 0
-            if general.any():
-                dg = denom[general]
-                qg = qp[general]
-                sg = s[general]
-                t = (qg[:, 0] * sg[:, 1] - qg[:, 1] * sg[:, 0]) / dg
-                u = (qg[:, 0] * d[1] - qg[:, 1] * d[0]) / dg
-                m = (t > 1e-12) & (t < 1 - 1e-12) & (u >= 0.0) & (u <= 1.0)
-                cuts.extend(t[m].tolist())
-            if (~general).any() and dd > 0:
-                for idx in cand[~general]:
-                    for ip in _seg_intersections(a, b, o1[idx], o2[idx]):
-                        t1 = float((ip - a) @ d) / dd
-                        if 1e-12 < t1 < 1 - 1e-12:
-                            cuts.append(t1)
+                        if cuts_per_edge[i_e] is None:
+                            cuts_per_edge[i_e] = []
+                        cuts_per_edge[i_e].append(t1)
+    out = []
+    for i, (a, b) in enumerate(edges):
+        cuts = cuts_per_edge[i]
         if not cuts:
             out.append((a, b))
             continue
+        d = d_all[i]
         ts = sorted(set([0.0] + cuts + [1.0]))
         for t0, t1 in zip(ts[:-1], ts[1:]):
             p, q = a + t0 * d, a + t1 * d
@@ -207,26 +222,42 @@ def _stitch(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
     # entirely (BOTH members): an edge traversed in both directions is
     # an interior seam between coincident boundaries — keeping either
     # one forms a degenerate 2-edge ring in the max-turn walk and
-    # consumes an edge a real ring needed
-    seen: dict[tuple, int] = {}
-    uniq: list[tuple[np.ndarray, np.ndarray]] = []
-    for a, b in edges:
-        k = (_key(a), _key(b))
-        if k in seen:
+    # consumes an edge a real ring needed.
+    # Keys are snapped in ONE numpy pass (per-endpoint _key calls were
+    # ~20% of the union profile).
+    if not edges:
+        return []
+    a_arr = np.array([e[0] for e in edges])
+    b_arr = np.array([e[1] for e in edges])
+    ka_all = np.round(a_arr / SNAP).astype(np.int64)
+    kb_all = np.round(b_arr / SNAP).astype(np.int64)
+    keys = [
+        ((ka_all[i, 0], ka_all[i, 1]), (kb_all[i, 0], kb_all[i, 1]))
+        for i in range(len(edges))
+    ]
+    seen = set(keys)
+    kept_idx: list[int] = []
+    emitted: set[tuple] = set()
+    for i, k in enumerate(keys):
+        if k in emitted:
             continue
-        seen[k] = 1
-        uniq.append((a, b))
-    edges = [e for e in uniq if (_key(e[1]), _key(e[0])) not in seen]
+        if (k[1], k[0]) in seen:
+            continue
+        emitted.add(k)
+        kept_idx.append(i)
+    edge_keys = [keys[i] for i in kept_idx]
+    edges = [edges[i] for i in kept_idx]
 
     out_map: dict[tuple, list[int]] = defaultdict(list)
-    for i, (a, b) in enumerate(edges):
-        out_map[_key(a)].append(i)
+    for i, (ka, _kb) in enumerate(edge_keys):
+        out_map[ka].append(i)
     used = [False] * len(edges)
     rings: list[np.ndarray] = []
     for start in range(len(edges)):
         if used[start]:
             continue
         path = [edges[start][0]]
+        start_key = edge_keys[start][0]
         cur = start
         used[start] = True
         guard = 0
@@ -234,8 +265,8 @@ def _stitch(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
             guard += 1
             a, b = edges[cur]
             path.append(b)
-            kb = _key(b)
-            if kb == _key(path[0]):
+            kb = edge_keys[cur][1]
+            if kb == start_key:
                 rings.append(np.array(path))
                 break
             cands = [i for i in out_map[kb] if not used[i]]
