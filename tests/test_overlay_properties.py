@@ -125,3 +125,63 @@ def test_convex_union_inclusion_exclusion(a, b):
     inter = _area(polygon_intersection(a, b))
     u = _area(polygon_union([a, b]))
     assert abs(u - (polygon_area(a) + polygon_area(b) - inter)) < 1e-6
+
+
+# -- dissolve_partition properties -----------------------------------------
+@st.composite
+def grid_partitions(draw):
+    """A rectangle split into a ragged grid of tiles (random cut lines),
+    i.e. exactly the interior-disjoint axis-aligned-cut shape
+    dissolve_partition is specified for."""
+    from pygeoops_spark.geom.overlay import dissolve_partition  # noqa: F401
+
+    x_cuts = sorted(
+        set([0, 40] + draw(st.lists(st.integers(1, 39), max_size=4)))
+    )
+    y_cuts = sorted(
+        set([0, 30] + draw(st.lists(st.integers(1, 29), max_size=4)))
+    )
+    tiles = []
+    for x0, x1 in zip(x_cuts[:-1], x_cuts[1:]):
+        for y0, y1 in zip(y_cuts[:-1], y_cuts[1:]):
+            tiles.append(polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)]))
+    return tiles
+
+
+@settings(max_examples=60, deadline=None)
+@given(grid_partitions())
+def test_dissolve_grid_partition_reassembles_rectangle(tiles):
+    from pygeoops_spark.geom.overlay import dissolve_partition
+
+    g = dissolve_partition(tiles)
+    assert _area(g) == 40 * 30
+    assert g.geom_type == "POLYGON"
+    assert len(g.data) == 1  # no holes
+
+
+@settings(max_examples=40, deadline=None)
+@given(grid_partitions(), st.lists(boxes(), min_size=1, max_size=4))
+def test_dissolve_matches_union_after_tile_differences(tiles, subs):
+    """Difference each tile against shared subtrahends, then dissolve:
+    area must equal polygon_union of the same pieces (the general
+    recombine) — and both equal total minus the covered area."""
+    from pygeoops_spark.geom.difference import difference_all
+    from pygeoops_spark.geom.overlay import dissolve_partition
+
+    parts = [
+        r
+        for t in tiles
+        if (r := difference_all(t, subs, check_intersects=True)) is not None
+        and not r.is_empty
+    ]
+    if not parts:
+        return
+    d = dissolve_partition(parts)
+    u = polygon_union(parts)
+    assert _area(d) == pytest_approx(_area(u))
+
+
+def pytest_approx(v):
+    import pytest
+
+    return pytest.approx(v, rel=1e-9, abs=1e-9)
