@@ -704,6 +704,36 @@ def _q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_det_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified per-language subsample: downsample the
+    'en' stratum to 25%, keep 60% of 'de', default 100% — the
+    reproducible corpus-balancing op (text/sampling.py). Bucket is
+    rerun-stable pure BIGINT arithmetic, so the oracle runs the same
+    expression."""
+    from pygeoops_spark.text.sampling import det_hash_bucket, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "de": 0.6}, default_rate=1.0
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        det_hash_bucket("doc_id").cast("long").alias("bucket"),
+    )
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 longest documents per language, deterministic tie-break by
+    doc_id (text/sampling.py:topk_per_group) — the per-stratum
+    selection op of a training-data pipeline."""
+    from pygeoops_spark.text.sampling import topk_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = topk_per_group(docs, "lang", "n_chars", 3, tie_col="doc_id")
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pygeoops_spark.text.dedup import exact_dedup
 
@@ -988,6 +1018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_text": _q_extract_text,
         "dedup_exact": _q_dedup_exact,
         "dedup_prefix": _q_dedup_prefix,
+        "det_sample": _q_det_sample,
+        "topk_per_group": _q_topk_per_group,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "langid": _q_langid,
@@ -1011,6 +1043,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 # --------------------------------------------------------------------------
+
+
+def _det_hash_oracle(key_expr: str) -> str:
+    from pygeoops_spark.text.sampling import oracle_hash_sql
+
+    return oracle_hash_sql(key_expr)
 def oracle_sql() -> dict[str, str]:
     return {
         "grid_create": """
@@ -1276,6 +1314,26 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY substr(text, 1, 40)
+        """,
+        "det_sample": f"""
+            SELECT doc_id, lang,
+                   CAST({_det_hash_oracle("doc_id")} AS BIGINT) AS bucket
+            FROM documents
+            WHERE {_det_hash_oracle("doc_id")} <
+                  CASE WHEN lang = 'de' THEN {int(0.6 * 2**31)}
+                       WHEN lang = 'en' THEN {int(0.25 * 2**31)}
+                       ELSE {2**31} END
+        """,
+        "topk_per_group": """
+            SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+            FROM (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 3
         """,
         "token_count": r"""
             SELECT doc_id,
