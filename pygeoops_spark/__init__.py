@@ -85,6 +85,10 @@ _EXPORTS = {
     "jaccard_pairs": "pygeoops_spark.text.dedup",
     "minhash_lsh_pairs": "pygeoops_spark.text.dedup",
     "simhash_pairs": "pygeoops_spark.text.dedup",
+    "det_sample": "pygeoops_spark.text.sampling",
+    "stratified_sample": "pygeoops_spark.text.sampling",
+    "topk_per_group": "pygeoops_spark.text.sampling",
+    "det_hash_bucket": "pygeoops_spark.text.sampling",
     "connected_components": "pygeoops_spark.text.pipeline",
     "sessionize": "pygeoops_spark.text.pipeline",
     "quality_features": "pygeoops_spark.text.quality",
