@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "view_angles",
     "simplify_rdp",
     "dedup_exact",
+    "det_sample",
+    "topk_per_group",
     "token_count",
     "text_quality",
     "langid",
