@@ -97,3 +97,45 @@ def test_connected_components_star_plan_is_aggregate_shaped(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_tiled_difference_kernel_stage_stays_parallel(spark):
+    """Regression pin for the AQE single-task pathology: the tiled
+    difference shuffles only KBs of WKB but each row costs real CPU in
+    the overlay kernel — size-based coalescing once collapsed the
+    kernel stage to ONE task (10x serialization). The operator pins an
+    explicit partition count; this asserts the kernel stage actually
+    executes across many partitions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from pygeoops_spark.geom import polygon as mkp, wkb_dumps
+    from pygeoops_spark.operators.difference import (
+        difference_all_col,
+        subdivide_col,
+    )
+
+    subs = [wkb_dumps(mkp([(5.0, 5.0), (9.0, 5.0), (9.0, 9.0), (5.0, 9.0)]))]
+
+    @F.pandas_udf(BinaryType())
+    def poly(ids: pd.Series) -> pd.Series:
+        from pygeoops_spark.geom import polygon as p, wkb_dumps as wd
+
+        out = []
+        for i in ids:
+            x0 = float(int(i) % 10)
+            out.append(wd(p([(x0, 0), (x0 + 8, 0), (x0 + 8, 8), (x0, 8)])))
+        return pd.Series(out)
+
+    df = spark.range(40).select(F.col("id").alias("fid"), poly("id").alias("wkb"))
+    tiles = df.select(
+        "fid", F.explode(subdivide_col("wkb", 4)).alias("_tile")
+    ).repartition(16, F.col("fid"), F.col("_tile"))
+    diffed = tiles.select(
+        "fid",
+        F.spark_partition_id().alias("pid"),
+        difference_all_col("_tile", subs).alias("_d"),
+    )
+    pids = diffed.select("pid").distinct().count()
+    assert pids >= 8, f"kernel stage ran in only {pids} partitions"
