@@ -17,7 +17,7 @@ Scale notes (the design target is ~10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Deterministic affine hash family for MinHash: h_j(x) = (a_j*x+b_j) % P
@@ -182,22 +182,46 @@ def jaccard_pairs(
     )
 
 
+def shingle_hash_arrays(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sorted array of distinct shingle xxhash64) — ONE projection
+    shared by signature generation and exact verification."""
+    return df.select(
+        F.col(id_col),
+        F.array_sort(
+            F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
+        ).alias("_aset"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, k: int = 32
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc, one groupBy (map-side
-    combined). Signature element j = min over shingles of h_j(xxhash64)."""
-    sh = shingle_table(df, id_col, text_col, n)
+    """k-permutation MinHash signature per doc as a PURE PROJECTION:
+    mh_j = array_min(transform(shingle_hashes, x -> h_j(x))). No
+    explode, no groupBy — at 10^12 docs the signature stage moves zero
+    rows (the r01/r02 design shuffled an exploded shingle table through
+    a k-min aggregate). Same values: min over the same multiset."""
+    arr = shingle_hash_arrays(df, id_col, text_col, n)
+    return arr.select(F.col(id_col), *_signature_cols(k))
+
+
+def _signature_cols(k: int) -> list[Column]:
     # ANSI-safe arithmetic: keep x and a below 2^31 so x*a + b < 2^63
     # (the driver session may run with spark.sql.ansi.enabled=true,
     # where silent long wraparound becomes a runtime error)
     m31 = (1 << 31) - 1
-    x = F.pmod(F.xxhash64("shingle"), F.lit(m31))
-    aggs = [
-        F.min(x * F.lit(a % m31) + F.lit(b % m31)).alias(f"mh_{j}")
+
+    def _perm(a: int, b: int):
+        # single-arg lambda: pyspark introspects arity (2-arg means
+        # (element, index)), so the params must close over a/b
+        return lambda x: F.pmod(x, F.lit(m31)) * F.lit(a % m31) + F.lit(b % m31)
+
+    return [
+        F.array_min(F.transform("_aset", _perm(a, b))).alias(f"mh_{j}")
         for j, (a, b) in enumerate(_hash_family(k))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -210,11 +234,14 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding, verified with exact
-    Jaccard on the candidates only (two shuffles: signature groupBy and
-    band bucket-join; verification joins shingles just for candidates).
+    Jaccard on the candidates only. The shingle-hash array is computed
+    ONCE and cached — signatures are a projection of it (no shuffle)
+    and verification reuses it; the only shuffles left are the band
+    bucket-join and the two candidate joins.
     """
     rows_per_band = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k).cache()
+    arr = shingle_hash_arrays(df, id_col, text_col, n).cache()
+    sig = arr.select(F.col(id_col), *_signature_cols(k))
     band_cols = [
         F.hash(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
             f"band_{b}"
@@ -235,15 +262,11 @@ def minhash_lsh_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    # verify candidates with exact jaccard via per-doc shingle-hash
-    # arrays + array_intersect: one row per candidate pair instead of
-    # exploding each pair by |A| (same rewrite as jaccard_pairs)
-    arrs = df.select(
-        F.col(id_col).alias("_aid"),
-        F.array_sort(
-            F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
-        ).alias("_aset"),
-    )
+    # verify candidates with exact jaccard via the SAME cached
+    # shingle-hash arrays + array_intersect: one row per candidate pair
+    # instead of exploding each pair by |A| (same rewrite as
+    # jaccard_pairs)
+    arrs = arr.select(F.col(id_col).alias("_aid"), "_aset")
     sized = (
         cands.join(
             arrs.select(
@@ -275,25 +298,29 @@ def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """SimHash over words: bit b of the signature is set when the sum of
-    (+1/-1) contributions of word-hash bit b is positive. One explode +
-    one groupBy with `bits` conditional sums (map-side combined)."""
-    w = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w")
-    ).withColumn("_h", F.xxhash64("_w"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    sums = w.groupBy(id_col).agg(*aggs)
+    (+1/-1) contributions of word-hash bit b is positive — i.e. when
+    more than half the word hashes have bit b set. Computed as a PURE
+    PROJECTION over the per-row word-hash array (bit b set iff
+    2*count_set_b > n), replacing the r02 explode + 64-conditional-sum
+    groupBy: at 10^12 docs the signature stage moves zero rows."""
+    d = df.select(
+        F.col(id_col),
+        F.transform(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
+        ).alias("_hs"),
+    ).withColumn("_n", F.size("_hs"))
     # disjoint bit contributions => plain addition assembles the word
+    def _bit_set(b: int):
+        # single-arg lambda (2-arg would mean (element, index) to pyspark)
+        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
+
     sig = F.lit(0).cast("long")
     for b in range(bits):
+        cnt = F.size(F.filter("_hs", _bit_set(b)))
         sig = sig + F.when(
-            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            cnt * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    return d.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_pairs(
