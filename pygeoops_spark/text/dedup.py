@@ -6,13 +6,14 @@ Scale notes (the design target is ~10^12 docs):
     8-byte keys, not document bodies; the survivor id is min(id) per
     group (hash collisions at 64 bit are ~n^2/2^65 — negligible, and
     the exact variant regroups by full text within hash groups).
-  * shingle explodes produce (doc, shingle) pairs — the join/group keys
-    are hashes, map-side combined before shuffling.
-  * MinHash signatures are computed in ONE groupBy with k min()
-    aggregations (map-side partial aggregation; no per-doc Python).
-    LSH bands then bucket-join candidates; exact Jaccard verifies.
-  * SimHash: 64-bit signature via per-bit weighted sums in one groupBy;
-    banding on 16-bit chunks finds candidates within Hamming distance.
+  * the Jaccard join explodes (doc, shingle-hash) pairs only for the
+    PPJoin prefix index — join/group keys are hashes, map-side
+    combined before shuffling.
+  * MinHash and SimHash signatures are PURE PROJECTIONS over a per-row
+    hash array (array_min of k permutations / per-bit majority counts)
+    — the signature stages move zero rows at any scale. LSH bands then
+    bucket-join candidates; exact Jaccard verifies over the same
+    cached arrays.
 """
 
 from __future__ import annotations
