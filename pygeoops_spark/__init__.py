@@ -98,6 +98,8 @@ _EXPORTS = {
     "cosine_topk_lsh": "pygeoops_spark.ann.cosine",
     "cosine_topk_ivf": "pygeoops_spark.ann.cosine",
     # sources / streaming / checkpointed runs
+    "synth_pages": "pygeoops_spark.corpus.pages",
+    "synth_zones": "pygeoops_spark.corpus.pages",
     "read_geojson_seq": "pygeoops_spark.sources.geojson",
     "write_geojson_seq": "pygeoops_spark.sources.geojson",
     "sessionize_stream": "pygeoops_spark.streaming.sessions",
