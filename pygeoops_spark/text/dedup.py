@@ -81,19 +81,19 @@ def shingle_table(
 
 
 def _jaccard_candidates(
-    df: DataFrame, id_col: str, text_col: str, n: int, threshold: float
+    arr: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
     """Prefix-filtered candidate pairs (complete w.r.t. the threshold):
-    (id_a < id_b, na, nb). See jaccard_pairs for the filter theory."""
-    from pyspark import StorageLevel
-
-    # join on the shingle's 8-byte hash, not the string: the shuffle
-    # carries longs (64-bit collisions are ~n^2/2^65 — negligible, and
-    # a collision only inflates `common` for one pair by 1)
-    sh = (
-        shingle_table(df, id_col, text_col, n)
-        .select(id_col, "_n_sh", F.xxhash64("shingle").alias("_sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    (id_a < id_b, na, nb) from a (id, _aset hash array) table. See
+    jaccard_pairs for the filter theory."""
+    # the exploded index joins on the shingle's 8-byte hash, not the
+    # string: the shuffle carries longs (64-bit collisions are
+    # ~n^2/2^65 — negligible, and a collision only inflates `common`
+    # for one pair by 1)
+    sh = arr.select(
+        F.col(id_col),
+        F.size("_aset").alias("_n_sh"),
+        F.explode("_aset").alias("_sh"),
     )
     dfreq = sh.groupBy("_sh").agg(F.count("*").alias("_df"))
     sh2 = sh.join(dfreq, "_sh")  # AQE turns this into a broadcast when small
@@ -158,18 +158,21 @@ def jaccard_pairs(
     Output: id_a < id_b, jaccard (rounded 1e-6; threshold applied to
     the unrounded value, matching the SQL oracle).
     """
-    cands = _jaccard_candidates(df, id_col, text_col, n, threshold)
+    from pyspark import StorageLevel
+
+    # ONE shingle-hash array table feeds both the prefix index (via
+    # explode) and the verification joins — the text is split and
+    # hashed once, not three times
+    arr = shingle_hash_arrays(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = _jaccard_candidates(arr, id_col, threshold)
     # verification via per-doc hash-set arrays + array_intersect: one
     # row per candidate pair instead of exploding each pair by |A|
     # (the r01-style explode-join shuffled |cands| x |A| rows — the
     # dominant cost). Singletons may stay in the arrays: they cannot
     # be shared, so they never change the intersection size.
-    arrs = df.select(
-        F.col(id_col).alias("_aid"),
-        F.array_sort(
-            F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
-        ).alias("_aset"),
-    )
+    arrs = arr.select(F.col(id_col).alias("_aid"), "_aset")
     common = (
         cands.join(arrs.select(F.col("_aid").alias("id_a"), F.col("_aset").alias("_sa")), "id_a")
         .join(arrs.select(F.col("_aid").alias("id_b"), F.col("_aset").alias("_sb")), "id_b")

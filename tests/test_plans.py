@@ -61,10 +61,11 @@ def test_jaccard_candidates_no_cartesian(spark, sf_dir):
     """The prefix-filtered candidate join must be a hash/sort-merge
     equi-join on the shingle hash — never a cartesian/nested-loop —
     and the shuffled keys are 8-byte hashes, not shingle strings."""
-    from pygeoops_spark.text.dedup import _jaccard_candidates
+    from pygeoops_spark.text.dedup import _jaccard_candidates, shingle_hash_arrays
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    plan = _plan(_jaccard_candidates(docs, "doc_id", "text", 3, 0.2))
+    arr = shingle_hash_arrays(docs, "doc_id", "text", 3)
+    plan = _plan(_jaccard_candidates(arr, "doc_id", 0.2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan

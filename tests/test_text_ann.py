@@ -162,7 +162,11 @@ def test_jaccard_prefix_filter_prunes_stop_shingles(spark):
 
     import pandas as pd
 
-    from pygeoops_spark.text.dedup import _jaccard_candidates, jaccard_pairs
+    from pygeoops_spark.text.dedup import (
+        _jaccard_candidates,
+        jaccard_pairs,
+        shingle_hash_arrays,
+    )
 
     rows = []
     for i in range(40):
@@ -173,7 +177,9 @@ def test_jaccard_prefix_filter_prunes_stop_shingles(spark):
     rows.append((101, "alpha beta gamma delta epsilon zeta"))
     docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
 
-    cands = _jaccard_candidates(docs, "doc_id", "text", 3, 0.5).count()
+    cands = _jaccard_candidates(
+        shingle_hash_arrays(docs, "doc_id", "text", 3), "doc_id", 0.5
+    ).count()
     assert cands < 78  # << C(42,2); the df=40 shingle is never indexed
 
     got = {
