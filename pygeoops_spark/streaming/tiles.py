@@ -50,6 +50,38 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
 
 
+def near_dedup_stream(
+    stream: DataFrame,
+    text_col: str,
+    ts_col: str,
+    watermark: str = "10 minutes",
+    bits: int = 64,
+) -> DataFrame:
+    """Streaming near-duplicate suppression: keep the first document
+    per 64-bit SimHash signature within the watermark horizon.
+
+    The signature is a stateless projection (the same expression the
+    batch simhash_signatures builds — zero-shuffle), so the only
+    stateful operator is dropDuplicatesWithinWatermark on the
+    signature: state is one row per distinct signature inside the
+    watermark, evicted as event time advances. Near-identical docs
+    (small word-multiset edits that leave every bit-majority unchanged)
+    collapse to the same signature and are suppressed; docs at
+    hamming > 0 pass — this is the exact-signature streaming tier,
+    batch minhash/jaccard handles graded similarity."""
+    from pygeoops_spark.text.dedup import simhash_sig_expr, word_hash_array
+
+    sig = (
+        stream.withColumn("_hs", word_hash_array(text_col))
+        .withColumn("_n", F.size("_hs"))
+        .withColumn("simhash", simhash_sig_expr(bits))
+        .drop("_hs", "_n")
+    )
+    return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["simhash"]
+    )
+
+
 def windowed_tile_counts(
     stream: DataFrame,
     ts_col: str,

@@ -309,10 +309,24 @@ def simhash_signatures(
     groupBy: at 10^12 docs the signature stage moves zero rows."""
     d = df.select(
         F.col(id_col),
-        F.transform(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
-        ).alias("_hs"),
+        word_hash_array(text_col).alias("_hs"),
     ).withColumn("_n", F.size("_hs"))
+    return d.select(F.col(id_col), simhash_sig_expr(bits).alias("simhash"))
+
+
+def word_hash_array(text_col: str) -> Column:
+    """xxhash64 of every whitespace word (duplicates kept, order kept)."""
+    return F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: F.xxhash64(w)
+    )
+
+
+def simhash_sig_expr(bits: int = 64) -> Column:
+    """The signature expression over materialized columns `_hs`
+    (word-hash array) and `_n` (its size) — materialize them first so
+    the per-bit filters reuse one computed array per row. Stateless, so
+    it composes into Structured Streaming projections too."""
+
     # disjoint bit contributions => plain addition assembles the word
     def _bit_set(b: int):
         # single-arg lambda (2-arg would mean (element, index) to pyspark)
@@ -324,7 +338,7 @@ def simhash_signatures(
         sig = sig + F.when(
             cnt * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
-    return d.select(F.col(id_col), sig.alias("simhash"))
+    return sig
 
 
 def simhash_pairs(

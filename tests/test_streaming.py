@@ -221,3 +221,46 @@ def test_streaming_dedup_drops_repeats(spark):
     got = spark.sql("select count(*) c from deduped").first()["c"]
     want = events.distinct().count()
     assert got == want
+
+
+def test_streaming_near_dedup_suppresses_simhash_collisions(spark):
+    """Replaying documents with near-identical copies (same text, later
+    timestamps) through the file source: near_dedup_stream keeps one row
+    per distinct SimHash signature — parity with the batch signature
+    distinct count."""
+    import tempfile as _tf
+
+    from pygeoops_spark.streaming.tiles import near_dedup_stream
+    from pygeoops_spark.text.dedup import simhash_signatures
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+        .withColumn(
+            "ts",
+            (F.lit(1700000000).cast("long") + F.col("doc_id")).cast("timestamp"),
+        )
+    )
+    # duplicate every doc with a later timestamp (same text -> same sig)
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000).withColumn(
+            "ts", (F.col("ts").cast("long") + 1).cast("timestamp")
+        )
+    )
+    src = _tf.mkdtemp(prefix="stream_neardedup_")
+    dup.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(dup.schema).parquet(src)
+    out = near_dedup_stream(stream, "text", "ts", "365 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_deduped")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select count(*) c from near_deduped").first()["c"]
+    want = simhash_signatures(docs).select("simhash").distinct().count()
+    assert got == want
