@@ -503,7 +503,6 @@ def dissolve_partition(polys: list[Geometry]) -> Geometry | None:
     # line buckets: snapped coordinate -> list of (lo, hi, sign, coord)
     vert: dict[int, list] = defaultdict(list)
     horiz: dict[int, list] = defaultdict(list)
-    ok = True
     for p in flat:
         for a, b in _poly_edges(p):
             if a[0] == b[0]:
@@ -565,7 +564,9 @@ def dissolve_partition(polys: list[Geometry]) -> Geometry | None:
         result is None
         or abs(polygon_area(result) - target) > 1e-8 * max(target, 1.0)
     ):
-        return polygon_union(polys)
+        # fall back with the None-filtered inputs: polygon_union does
+        # not accept None elements
+        return polygon_union([g for g in polys if g is not None])
     return result
 
 

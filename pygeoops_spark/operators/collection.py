@@ -71,13 +71,12 @@ def collect_agg(
             )
         return pd.DataFrame(row)
 
-    # explicit repartition on the group keys: the grouped-map kernel is
-    # CPU-bound over tiny WKB bytes, so AQE's size-based coalescing
-    # would serialize it into one task; an explicit count is respected
-    # and satisfies the groupBy's clustering (no extra exchange).
-    npart = gdf.sparkSession.sparkContext.defaultParallelism * 2
+    # CPU-bound grouped-map over tiny WKB: pin the partition count so
+    # AQE can't serialize it (see operators/partitioning.py)
+    from pygeoops_spark.operators.partitioning import repartition_for_cpu
+
     return (
-        gdf.repartition(npart, *[F.col(c) for c in group_cols])
+        repartition_for_cpu(gdf, *group_cols)
         .groupBy(*group_cols)
         .applyInPandas(run, schema)
     )

@@ -121,13 +121,11 @@ def difference_all_tiled_distributed(
     difference kernel -> repartition(id) + collect_list union. Output:
     (id_col, result_wkb).
 
-    Both repartitions use an EXPLICIT partition count: the shuffled WKB
-    is tiny (KBs/row) but each row costs real CPU in the overlay
-    kernel, so AQE's size-based coalescing would collapse the exchange
-    to one task and serialize the whole job. An explicit count is the
-    user-specified escape hatch AQE respects. At 100 TB the same rule
-    holds — partition CPU-bound geometry stages by core count, not by
-    shuffle bytes.
+    Both repartitions use an EXPLICIT partition count (the CPU-bound-
+    stage policy of operators/partitioning.py, overridable here via
+    target_partitions): the shuffled WKB is tiny but each row costs
+    real kernel CPU, so AQE's size-based coalescing would collapse the
+    exchange to one task and serialize the whole job.
     """
     if target_partitions is None:
         target_partitions = df.sparkSession.sparkContext.defaultParallelism * 2

@@ -324,14 +324,12 @@ def simplify_topo(
             g = multi(GEOMETRYCOLLECTION, parts)
         return pd.DataFrame({id_col: [fid], "simplified_wkb": [wkb_dumps(g)]})
 
-    # explicit repartition(fid): the per-feature simplify kernel is
-    # CPU-bound over tiny segment rows — AQE would coalesce the final
-    # exchange to one task and serialize it; the explicit count is
-    # respected and satisfies the groupBy clustering (same exchange
-    # count, just not collapsed).
-    npart = noded.sparkSession.sparkContext.defaultParallelism * 2
+    # CPU-bound grouped-map over tiny segment rows: pin the partition
+    # count so AQE can't serialize it (see operators/partitioning.py)
+    from pygeoops_spark.operators.partitioning import repartition_for_cpu
+
     out = (
-        noded.repartition(npart, F.col("fid"))
+        repartition_for_cpu(noded, "fid")
         .groupBy("fid")
         .applyInPandas(simplify_feature, out_schema)
     )

@@ -72,14 +72,22 @@ def near_dedup_stream(
     from pygeoops_spark.text.dedup import simhash_sig_expr, word_hash_array
 
     sig = (
-        stream.withColumn("_hs", word_hash_array(text_col))
+        stream.where(F.col(text_col).isNotNull())
+        .withColumn("_hs", word_hash_array(text_col))
         .withColumn("_n", F.size("_hs"))
         .withColumn("simhash", simhash_sig_expr(bits))
         .drop("_hs", "_n")
     )
-    return sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+    deduped = sig.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["simhash"]
     )
+    # NULL-text events carry no signal for the signature — pass them
+    # through untouched (suppressing them against each other as
+    # "duplicates of the empty document" would silently drop data)
+    passthrough = stream.where(F.col(text_col).isNull()).withColumn(
+        "simhash", F.lit(None).cast("long")
+    )
+    return deduped.unionByName(passthrough)
 
 
 def windowed_tile_counts(

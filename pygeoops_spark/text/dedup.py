@@ -71,15 +71,6 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     )
 
 
-def shingle_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """(id, shingle) exploded pairs + per-doc shingle count."""
-    s = df.select(F.col(id_col), word_shingles(text_col, n).alias("_shingles"))
-    s = s.withColumn("_n_sh", F.size("_shingles"))
-    return s.select(id_col, "_n_sh", F.explode("_shingles").alias("shingle"))
-
-
 def _jaccard_candidates(
     arr: DataFrame, id_col: str, threshold: float
 ) -> DataFrame:
@@ -190,8 +181,10 @@ def shingle_hash_arrays(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(id, sorted array of distinct shingle xxhash64) — ONE projection
-    shared by signature generation and exact verification."""
-    return df.select(
+    shared by signature generation and exact verification. NULL-text
+    rows are dropped, matching the explode-based formulation these
+    arrays replaced (explode(NULL) emits no row)."""
+    return df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.array_sort(
             F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
@@ -307,10 +300,13 @@ def simhash_signatures(
     PROJECTION over the per-row word-hash array (bit b set iff
     2*count_set_b > n), replacing the r02 explode + 64-conditional-sum
     groupBy: at 10^12 docs the signature stage moves zero rows."""
-    d = df.select(
+    d = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         word_hash_array(text_col).alias("_hs"),
     ).withColumn("_n", F.size("_hs"))
+    # NULL-text rows are dropped (not given signature 0), matching the
+    # explode-based formulation this projection replaced — otherwise
+    # every pair of null-text docs would read as an exact near-dup
     return d.select(F.col(id_col), simhash_sig_expr(bits).alias("simhash"))
 
 

@@ -61,6 +61,9 @@ def stratified_sample(
     """Per-group deterministic rates (e.g. per-language balancing:
     downsample English, keep all low-resource languages). The rate map
     folds into ONE CASE expression — no join, no shuffle."""
+    for val, rate in {**rates, "<default>": default_rate}.items():
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate for {val!r} must be in [0, 1], got {rate}")
     thresh: Column = F.lit(int(default_rate * _BUCKETS))
     expr = None
     for val, rate in sorted(rates.items()):

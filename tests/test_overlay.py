@@ -285,3 +285,10 @@ def test_dissolve_matches_union_on_tiled_difference():
         u_new = _dp(parts)
         assert polygon_area(u_new) == pytest.approx(polygon_area(u_ref), rel=1e-9)
         assert struct(u_new) == struct(u_ref)
+
+
+def test_dissolve_fallback_tolerates_none_elements():
+    # None elements are legal on the primary path; the polygon_union
+    # fallback (triggered here by a duplicate piece) must filter them too
+    g = _dp([box(0, 0, 2, 2), box(0, 0, 2, 2), None])
+    assert polygon_area(g) == pytest.approx(4.0)

@@ -2,6 +2,7 @@
 candidate joins, column pruning to the scan) must hold — a correct but
 shuffle-heavy plan is a regression even when results match."""
 
+import pandas as pd  # noqa: F401 — pandas_udf pd.Series type hints
 from pyspark.sql import functions as F
 
 
@@ -104,17 +105,15 @@ def test_tiled_difference_kernel_stage_stays_parallel(spark):
     """Regression pin for the AQE single-task pathology: the tiled
     difference shuffles only KBs of WKB but each row costs real CPU in
     the overlay kernel — size-based coalescing once collapsed the
-    kernel stage to ONE task (10x serialization). The operator pins an
-    explicit partition count; this asserts the kernel stage actually
-    executes across many partitions."""
-    import pandas as pd
-    from pyspark.sql import functions as F
+    kernel/union stages to ONE task (10x serialization). This drives
+    the REAL operator (difference_all_tiled_distributed pins explicit
+    partition counts itself) and asserts its final stage executes
+    across many partitions."""
     from pyspark.sql.types import BinaryType
 
     from pygeoops_spark.geom import polygon as mkp, wkb_dumps
     from pygeoops_spark.operators.difference import (
-        difference_all_col,
-        subdivide_col,
+        difference_all_tiled_distributed,
     )
 
     subs = [wkb_dumps(mkp([(5.0, 5.0), (9.0, 5.0), (9.0, 9.0), (5.0, 9.0)]))]
@@ -130,13 +129,6 @@ def test_tiled_difference_kernel_stage_stays_parallel(spark):
         return pd.Series(out)
 
     df = spark.range(40).select(F.col("id").alias("fid"), poly("id").alias("wkb"))
-    tiles = df.select(
-        "fid", F.explode(subdivide_col("wkb", 4)).alias("_tile")
-    ).repartition(16, F.col("fid"), F.col("_tile"))
-    diffed = tiles.select(
-        "fid",
-        F.spark_partition_id().alias("pid"),
-        difference_all_col("_tile", subs).alias("_d"),
-    )
-    pids = diffed.select("pid").distinct().count()
-    assert pids >= 8, f"kernel stage ran in only {pids} partitions"
+    out = difference_all_tiled_distributed(df, "fid", "wkb", subs, subdivide_coords=4)
+    pids = out.select(F.spark_partition_id().alias("pid")).distinct().count()
+    assert pids >= 8, f"union stage ran in only {pids} partitions"

@@ -310,3 +310,25 @@ def test_ann_empty_inputs_return_empty(spark, emb):
     assert cosine_topk_bruteforce(none, emb, k=3).count() == 0
     assert cosine_topk_ivf(emb.limit(5), none, k=3).count() == 0
     assert cosine_dup_pairs(none, threshold=0.5).count() == 0
+
+
+def test_null_text_docs_are_dropped_not_paired(spark):
+    """NULL-text docs must be absent from signatures/pairs (the
+    explode-era semantics): giving them signature 0 would report every
+    pair of null docs as an exact near-duplicate."""
+    import pandas as pd
+
+    from pygeoops_spark.text.dedup import (
+        minhash_signatures,
+        simhash_pairs,
+        simhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": [None, None, "hello world foo bar"]}
+        )
+    )
+    assert simhash_signatures(docs).count() == 1
+    assert minhash_signatures(docs).count() == 1
+    assert simhash_pairs(docs).count() == 0
