@@ -70,6 +70,13 @@ def knn_join(
     # Exactness check: k-th distance must be <= the guaranteed covered
     # radius (radius * cell_size, the inradius of the ring box from the
     # probe's own cell). Probes failing it re-run with doubled radius.
+    # `ranked` is persisted first: it is only probes x k rows (the
+    # candidate explosion and window are already reduced), but the
+    # check's isEmpty() action and the final output would otherwise
+    # both recompute that expensive plan from scratch.
+    from pyspark import StorageLevel
+
+    ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     safe = float(radius) * cell_size(level)
     kth = ranked.groupBy(probe_key).agg(
         F.max("dist").alias("_kth"), F.count("*").alias("_n")
