@@ -51,18 +51,24 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     S0, S1, S2 = n, n + 1, n + 2
 
     # growable columnar triangle store: the per-insertion bad-triangle
-    # search runs the determinant incircle predicate VECTORIZED over all
-    # live triangles, so Python only touches the small cavity per insert
+    # search runs the determinant incircle predicate VECTORIZED over the
+    # ACTIVE triangles, so Python only touches the small cavity per
+    # insert. With x-sorted insertion a triangle whose circumcircle lies
+    # entirely left of the sweep (ux + r < px) can never be invalidated
+    # again, so it retires from the scan set — same output (a retired
+    # triangle's incircle determinant is necessarily <= 0 for all later
+    # points), the scan shrinks from O(all triangles) to O(frontier).
     cap = max(4 * n + 16, 64)
     tri_idx = np.zeros((cap, 3), dtype=np.int64)
     tvx = np.zeros((cap, 3))
     tvy = np.zeros((cap, 3))
     tsign = np.zeros(cap)  # orientation sign
     alive = np.zeros(cap, dtype=bool)
+    cxr = np.zeros(cap)  # ux + r: retire threshold (inf when degenerate)
     count = 0
 
     def add_tri(i, j, k):
-        nonlocal count, cap, tri_idx, tvx, tvy, tsign, alive
+        nonlocal count, cap, tri_idx, tvx, tvy, tsign, alive, cxr
         if count == cap:
             cap *= 2
             tri_idx = np.resize(tri_idx, (cap, 3))
@@ -70,6 +76,7 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
             tvy = np.resize(tvy, (cap, 3))
             tsign = np.resize(tsign, cap)
             alive = np.resize(alive, cap)
+            cxr = np.resize(cxr, cap)
         tri_idx[count] = (i, j, k)
         tvx[count] = (allp[i, 0], allp[j, 0], allp[k, 0])
         tvy[count] = (allp[i, 1], allp[j, 1], allp[k, 1])
@@ -78,26 +85,76 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
         ) * (allp[j, 1] - allp[i, 1])
         tsign[count] = -1.0 if orient < 0 else 1.0
         alive[count] = True
+        if track_cxr:
+            ux, _uy, r2 = _circumcenter(
+                allp[i, 0], allp[i, 1], allp[j, 0], allp[j, 1], allp[k, 0], allp[k, 1]
+            )
+            # conservative margin: sqrt rounding must never retire a
+            # circle that still (barely) contains a later point
+            cxr[count] = (
+                math.inf if math.isinf(ux) else ux + math.sqrt(r2) * (1.0 + 1e-9)
+            )
         count += 1
+        return count - 1
 
+    def fill_cxr_vectorized():
+        # backfill retire thresholds for triangles created in small mode
+        x1, y1 = tvx[:count, 0], tvy[:count, 0]
+        x2, y2 = tvx[:count, 1], tvy[:count, 1]
+        x3, y3 = tvx[:count, 2], tvy[:count, 2]
+        d = 2.0 * (x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2))
+        a2, b2, c2 = x1 * x1 + y1 * y1, x2 * x2 + y2 * y2, x3 * x3 + y3 * y3
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ux = (a2 * (y2 - y3) + b2 * (y3 - y1) + c2 * (y1 - y2)) / d
+            uy = (a2 * (x3 - x2) + b2 * (x1 - x3) + c2 * (x2 - x1)) / d
+            r = np.sqrt((x1 - ux) ** 2 + (y1 - uy) ** 2)
+        vals = ux + r * (1.0 + 1e-9)
+        vals[~np.isfinite(vals)] = math.inf
+        cxr[:count] = vals
+
+    track_cxr = False
+    active = None  # None = small mode: scan the whole store by slice
     add_tri(S0, S1, S2)
 
-    # insertion order: sorted by x improves locality and robustness
+    # insertion order: sorted by x enables the sweep retirement above
     order = np.lexsort((pts[:, 1], pts[:, 0]))
     for p in order:
         px, py = allp[p, 0], allp[p, 1]
-        ax = tvx[:count, 0] - px
-        ay = tvy[:count, 0] - py
-        bx = tvx[:count, 1] - px
-        by = tvy[:count, 1] - py
-        cx_ = tvx[:count, 2] - px
-        cy_ = tvy[:count, 2] - py
-        det = (
-            (ax * ax + ay * ay) * (bx * cy_ - cx_ * by)
-            - (bx * bx + by * by) * (ax * cy_ - cx_ * ay)
-            + (cx_ * cx_ + cy_ * cy_) * (ax * by - bx * ay)
-        )
-        bad = np.nonzero(alive[:count] & (det * tsign[:count] > 0))[0]
+        if active is None and count >= 1536:
+            # switch to sweep-retirement mode: backfill thresholds once
+            fill_cxr_vectorized()
+            track_cxr = True
+            active = np.arange(count, dtype=np.int64)
+        if active is None:
+            # small/mid stores: a contiguous slice beats gather indexing and
+            # needs no retire bookkeeping
+            scan = slice(0, count)
+            ax = tvx[scan, 0] - px
+            ay = tvy[scan, 0] - py
+            bx = tvx[scan, 1] - px
+            by = tvy[scan, 1] - py
+            cx_ = tvx[scan, 2] - px
+            cy_ = tvy[scan, 2] - py
+            det = (
+                (ax * ax + ay * ay) * (bx * cy_ - cx_ * by)
+                - (bx * bx + by * by) * (ax * cy_ - cx_ * ay)
+                + (cx_ * cx_ + cy_ * cy_) * (ax * by - bx * ay)
+            )
+            bad = np.nonzero(alive[scan] & (det * tsign[scan] > 0))[0]
+        else:
+            active = active[alive[active] & (cxr[active] >= px)]
+            ax = tvx[active, 0] - px
+            ay = tvy[active, 0] - py
+            bx = tvx[active, 1] - px
+            by = tvy[active, 1] - py
+            cx_ = tvx[active, 2] - px
+            cy_ = tvy[active, 2] - py
+            det = (
+                (ax * ax + ay * ay) * (bx * cy_ - cx_ * by)
+                - (bx * bx + by * by) * (ax * cy_ - cx_ * ay)
+                + (cx_ * cx_ + cy_ * cy_) * (ax * by - bx * ay)
+            )
+            bad = active[det * tsign[active] > 0]
         if len(bad) == 0:
             continue
         # boundary of the cavity: edges appearing exactly once
@@ -108,9 +165,13 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
                 key = (min(e), max(e))
                 edge_count[key] = edge_count.get(key, 0) + 1
         alive[bad] = False
-        for (i, j), cnt in edge_count.items():
-            if cnt == 1:
-                add_tri(i, j, p)
+        new_ids = [
+            add_tri(i, j, p) for (i, j), cnt in edge_count.items() if cnt == 1
+        ]
+        if active is not None:
+            active = np.concatenate(
+                [active, np.asarray(new_ids, dtype=np.int64)]
+            )
     live = np.nonzero(alive[:count])[0]
     return [
         (int(i), int(j), int(k))
