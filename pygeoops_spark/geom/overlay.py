@@ -181,37 +181,52 @@ def _node_edges(
     return out
 
 
+def _midpoints(edges: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+    a = np.array([e[0] for e in edges])
+    b = np.array([e[1] for e in edges])
+    return (a + b) / 2
+
+
+def _poly_segments(poly: Geometry) -> np.ndarray | None:
+    """All boundary segments as an (m, 4) array [x1 y1 x2 y2]."""
+    seg_arrays = []
+    for part in get_parts(poly):
+        for ring in part.data:
+            arr = np.asarray(ring, dtype=float)[:, :2]
+            if len(arr) >= 2:
+                seg_arrays.append(np.hstack([arr[:-1], arr[1:]]))
+    return np.vstack(seg_arrays) if seg_arrays else None
+
+
+def _min_boundary_dist(mids: np.ndarray, segs: np.ndarray) -> np.ndarray:
+    """Per-midpoint min distance to any segment — one broadcast
+    distance matrix per segment block (a per-segment python loop was
+    the profiled hot spot), blocked so memory stays bounded for very
+    large polygons."""
+    from pygeoops_spark.geom.kernels import point_segment_distance
+
+    px, py = mids[:, 0][:, None], mids[:, 1][:, None]
+    block = max(int(4_000_000 / max(len(mids), 1)), 16)
+    min_d = np.full(len(mids), np.inf)
+    for s0 in range(0, len(segs), block):
+        sb = segs[s0 : s0 + block]
+        d = point_segment_distance(
+            px, py, sb[None, :, 0], sb[None, :, 1], sb[None, :, 2], sb[None, :, 3]
+        )
+        min_d = np.minimum(min_d, d.min(axis=1))
+    return min_d
+
+
 def _classify(edges: list[tuple[np.ndarray, np.ndarray]], poly: Geometry) -> np.ndarray:
     """For each edge: 1 inside poly, 0 on boundary, -1 outside (by
     midpoint; on-boundary detected via distance test)."""
     if not edges:
         return np.empty(0, dtype=int)
-    mids = np.array([(a + b) / 2 for a, b in edges])
+    mids = _midpoints(edges)
     res = np.where(points_in_polygon(mids[:, 0], mids[:, 1], poly), 1, -1)
-    # boundary test: midpoint within SNAP of any boundary segment —
-    # one broadcast distance matrix per segment block (a per-segment
-    # python loop was the profiled hot spot), blocked so memory stays
-    # bounded for very large polygons
-    from pygeoops_spark.geom.kernels import point_segment_distance
-
-    seg_arrays = []
-    for part in get_parts(poly):
-        for ring in part.data:
-            arr = np.asarray(ring, dtype=float)
-            if len(arr) >= 2:
-                seg_arrays.append(np.hstack([arr[:-1], arr[1:]]))
-    if seg_arrays:
-        segs = np.vstack(seg_arrays)
-        px, py = mids[:, 0][:, None], mids[:, 1][:, None]
-        block = max(int(4_000_000 / max(len(mids), 1)), 16)
-        min_d = np.full(len(mids), np.inf)
-        for s0 in range(0, len(segs), block):
-            sb = segs[s0 : s0 + block]
-            d = point_segment_distance(
-                px, py, sb[None, :, 0], sb[None, :, 1], sb[None, :, 2], sb[None, :, 3]
-            )
-            min_d = np.minimum(min_d, d.min(axis=1))
-        res = np.where(min_d <= SNAP * 10, 0, res)
+    segs = _poly_segments(poly)
+    if segs is not None:
+        res = np.where(_min_boundary_dist(mids, segs) <= SNAP * 10, 0, res)
     return res
 
 
@@ -429,15 +444,31 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
     keep: list[tuple[np.ndarray, np.ndarray]] = []
     directed_count: dict[tuple, int] = defaultdict(int)
     candidates: list[tuple[np.ndarray, np.ndarray]] = []
+    seg_cache = [None] * len(flat)
     for i, p in enumerate(flat):
         near = [j for j in range(len(flat)) if j != i and _bbox_overlap(boxes[i], boxes[j])]
         noded = _node_edges(per_poly_edges[i], [per_poly_edges[j] for j in near])
         inside_any = np.zeros(len(noded), dtype=bool)
         onb_any = np.zeros(len(noded), dtype=bool)
-        for j in near:
-            c = _classify(noded, flat[j])
-            inside_any |= c == 1
-            onb_any |= c == 0
+        if near and noded:
+            # one midpoint build shared across the per-neighbor passes
+            # (rebuilding it for every j was the profiled union hot
+            # spot); segments cached per polygon across the outer loop.
+            # Per-j semantics preserved: a midpoint ON j's boundary is
+            # NOT inside j even when the crossing test says so.
+            mids = _midpoints(noded)
+            for j in near:
+                if seg_cache[j] is None:
+                    s = _poly_segments(flat[j])
+                    seg_cache[j] = s if s is not None else False
+                segs = seg_cache[j]
+                if segs is not False:
+                    onb_j = _min_boundary_dist(mids, segs) <= SNAP * 10
+                else:
+                    onb_j = np.zeros(len(noded), dtype=bool)
+                in_j = points_in_polygon(mids[:, 0], mids[:, 1], flat[j]) & ~onb_j
+                inside_any |= in_j
+                onb_any |= onb_j
         for k, (p1, p2) in enumerate(noded):
             if inside_any[k]:
                 continue
