@@ -37,9 +37,23 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
     n = len(pts)
     if n < 3:
         return []
+    # translate to a local frame when the offset dwarfs the extent:
+    # circumcenter math (and the sweep-retirement threshold below)
+    # loses precision quadratically with coordinate magnitude, which
+    # corrupted triangulations of projected coords (e.g. web-mercator,
+    # ~1e7). The output is index triples, so translation is free.
+    # Conditional (not unconditional) so already-centered inputs keep
+    # bit-identical float behavior.
+    raw_span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1e-12)
+    if max(abs(pts[:, 0]).max(), abs(pts[:, 1]).max()) > 16.0 * raw_span:
+        pts = pts - pts.mean(axis=0)
     # super-triangle comfortably containing everything
     cx, cy = pts[:, 0].mean(), pts[:, 1].mean()
     span = max(pts[:, 0].ptp(), pts[:, 1].ptp(), 1.0) * 1000.0
+    # absolute cushion for the retire threshold: covers the fp error of
+    # the circumcenter x at this coordinate scale (the relative r term
+    # alone under-covered it for large-magnitude frames)
+    coord_mag = max(abs(pts[:, 0]).max(), abs(pts[:, 1]).max(), 1.0)
     sup = np.array(
         [
             [cx - 20 * span, cy - span],
@@ -92,7 +106,9 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
             # conservative margin: sqrt rounding must never retire a
             # circle that still (barely) contains a later point
             cxr[count] = (
-                math.inf if math.isinf(ux) else ux + math.sqrt(r2) * (1.0 + 1e-9)
+                math.inf
+                if math.isinf(ux)
+                else ux + math.sqrt(r2) * (1.0 + 1e-9) + coord_mag * 1e-9
             )
         count += 1
         return count - 1
@@ -108,7 +124,7 @@ def delaunay(points: np.ndarray) -> list[tuple[int, int, int]]:
             ux = (a2 * (y2 - y3) + b2 * (y3 - y1) + c2 * (y1 - y2)) / d
             uy = (a2 * (x3 - x2) + b2 * (x1 - x3) + c2 * (x2 - x1)) / d
             r = np.sqrt((x1 - ux) ** 2 + (y1 - uy) ** 2)
-        vals = ux + r * (1.0 + 1e-9)
+        vals = ux + r * (1.0 + 1e-9) + coord_mag * 1e-9
         vals[~np.isfinite(vals)] = math.inf
         cxr[:count] = vals
 

@@ -73,7 +73,12 @@ def knn_join(
     # `ranked` is persisted first: it is only probes x k rows (the
     # candidate explosion and window are already reduced), but the
     # check's isEmpty() action and the final output would otherwise
-    # both recompute that expensive plan from scratch.
+    # both recompute that expensive plan from scratch. The cache is
+    # deliberately NOT unpersisted here — the returned frame still
+    # reads from it; it is LRU-evictable/spillable, bounded at
+    # probes x k rows per call. Long-lived sessions issuing many
+    # guarantee_exact calls should unpersist results they are done
+    # with (or spark.catalog.clearCache()).
     from pyspark import StorageLevel
 
     ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)

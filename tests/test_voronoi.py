@@ -60,3 +60,29 @@ def test_voronoi_edges_dual_counts():
             c[(min(e), max(e))] += 1
     interior = sum(1 for v in c.values() if v == 2)
     assert abs(len(edges) - interior) <= interior * 0.02
+
+
+def test_delaunay_projected_coordinates():
+    """Web-mercator-magnitude coordinates (offset ~1e7): the sweep
+    retirement's circumcenter threshold loses precision quadratically
+    with coordinate magnitude, so delaunay re-centers internally —
+    the triangulation must stay a valid exact partition of the hull."""
+    rng = np.random.default_rng(9)
+    base = np.unique(rng.uniform(0, 1, (3000, 2)), axis=0)
+    for off in (1e6, 1e7):
+        pts = base + off
+        tris = delaunay(pts)
+        n = len(pts)
+        assert len(tris) <= 2 * n - 2
+        c = pts - pts.mean(axis=0)
+        tsum = 0.0
+        for i, j, k in tris:
+            (ax, ay), (bx, by), (cx, cy) = c[i], c[j], c[k]
+            tsum += abs((bx - ax) * (cy - ay) - (cx - ax) * (by - ay)) / 2
+        from pygeoops_spark.geom.kernels import (
+            convex_hull_coords,
+            ring_signed_area,
+        )
+
+        ha = abs(ring_signed_area(convex_hull_coords(c)))
+        assert abs(tsum - ha) <= ha * 1e-9  # exact cover: no overlap, no gap
