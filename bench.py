@@ -231,22 +231,29 @@ def _mk_spark(cpus: int):
 
 
 def _scaling_worker(cpus: int) -> None:
-    """Measure the two scaling workloads in this (fresh) process."""
+    """Measure the three scaling workloads in this (fresh) process."""
     # sized so compute dominates fixed overheads at the larger core
     # count (the round-2 kernel speedups made the r01 sizes too small
     # to measure core scaling cleanly)
     n_pages = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "64000000"))
     n_cl = int(os.environ.get("SPARK_GRAFT_SCALING_CENTERLINES", "48000"))
+    n_dt = int(os.environ.get("SPARK_GRAFT_SCALING_DIFFERENCE", "2400"))
     import statistics
 
     s = _mk_spark(cpus)
-    _run_flagship(s, 100_000)  # warm up JVM + Python workers
-    _run_centerline(s, 2_000)
+    # each workload warms up immediately before ITS reps: the geometry
+    # workloads spawn large Python-worker pools whose resident memory
+    # perturbs the bandwidth-bound flagship if spawned earlier
+    _run_flagship(s, 100_000)
     reps_f = [_timed(lambda: _run_flagship(s, n_pages)) for _ in range(3)]
+    _run_centerline(s, 2_000)
     reps_c = [_timed(lambda: _run_centerline(s, n_cl)) for _ in range(3)]
+    _run_difference_tiled(s, 32)
+    reps_d = [_timed(lambda: _run_difference_tiled(s, n_dt)) for _ in range(3)]
     s.stop()
     med_f = statistics.median(reps_f)
     med_c = statistics.median(reps_c)
+    med_d = statistics.median(reps_d)
     print(
         json.dumps(
             {
@@ -256,6 +263,9 @@ def _scaling_worker(cpus: int) -> None:
                 "centerline_sec": round(med_c, 3),
                 "centerline_reps": [round(v, 3) for v in reps_c],
                 "centerline_ops_per_sec": round(n_cl / med_c, 1),
+                "difference_sec": round(med_d, 3),
+                "difference_reps": [round(v, 3) for v in reps_d],
+                "difference_geoms_per_sec": round(n_dt / med_d, 1),
             }
         )
     )
@@ -373,7 +383,7 @@ def main() -> None:
             )
             line = [ln for ln in res.stdout.splitlines() if ln.startswith("{")][-1]
             scaling[f"local[{cpus}]"] = json.loads(line)
-        for wl in ("flagship", "centerline"):
+        for wl in ("flagship", "centerline", "difference"):
             speedup = (
                 scaling[f"local[{lo}]"][f"{wl}_sec"]
                 / scaling[f"local[{4 * lo}]"][f"{wl}_sec"]
