@@ -7,10 +7,10 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., "throughput": {...},
    "scaling": {...}}   # scaling block when SPARK_GRAFT_SCALING=1
 
-The scaling block evidences the N -> 4N criterion by running the
-flagship spatial pipeline at local[8] and local[32] on identical input
-and reporting throughput at both plus efficiency
-( = (T8/T32) / 4 clamped to [0,1] ... i.e. speedup/4 ).
+The scaling block evidences the N -> 4N criterion by running three
+workloads (flagship SQL pipeline, centerline kernel, tiled difference)
+at local[N] and local[4N] on identical input and reporting throughput
+at both plus scaling efficiency ( = speedup / 4 ).
 """
 
 from __future__ import annotations
@@ -363,10 +363,11 @@ def main() -> None:
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING", "0") == "1":
-        # N -> 4N evidence: identical jobs at local[8] and local[32],
-        # each measured in a FRESH subprocess (fresh JVM — measuring in
-        # a shared JVM makes the numbers GC/JIT-order noise). Inputs
-        # sized so compute dominates overheads; best of 2 runs.
+        # N -> 4N evidence: the three scaling workloads at local[N]
+        # and local[4N] (N = SPARK_GRAFT_SCALING_N), each size in a
+        # FRESH subprocess (fresh JVM — a shared JVM makes the numbers
+        # GC/JIT-order noise). Inputs sized so compute dominates
+        # overheads; median of 3 reps after warm-up.
         import subprocess
 
         lo = int(os.environ.get("SPARK_GRAFT_SCALING_N", "4"))
