@@ -34,6 +34,7 @@ from pygeoops_spark.geom.wkb import (
     Geometry,
     LINESTRING,
     MULTILINESTRING,
+    MULTIPOLYGON,
     POLYGON,
     get_coordinates,
     get_parts,
@@ -51,6 +52,13 @@ def compactness(geom: Geometry) -> float:
     """Polsby-Popper 4*pi*A / P^2."""
     p = geom_length(geom)
     return (4.0 * math.pi * polygon_area(geom)) / (p * p) if p else 0.0
+
+
+def _groups_geometry(groups: list[list[np.ndarray]]) -> Geometry:
+    """(Multi)Polygon from per-part ring lists (shell first per part)."""
+    if len(groups) == 1:
+        return Geometry(POLYGON, groups[0])
+    return multi(MULTIPOLYGON, [Geometry(POLYGON, g) for g in groups])
 
 
 def segmentize_ring(ring: np.ndarray, max_len: float) -> np.ndarray:
@@ -135,15 +143,23 @@ def centerline(
     if geom is None or geom.is_empty:
         return None
     if geom.type_id != POLYGON:
-        parts = [p for p in get_parts(geom) if p.type_id == POLYGON]
+        parts = [p for p in get_parts(geom) if p.type_id == POLYGON and p.data]
         if not parts:
             return None
-        geom = parts[0] if len(parts) == 1 else parts[0]
+        geom = parts[0] if len(parts) == 1 else multi(MULTIPOLYGON, parts)
 
     avg_w: float | None = None
 
-    # 1. densify
-    rings = [np.asarray(r, dtype=float)[:, :2] for r in geom.data]
+    # ring groups: one list of rings (shell first) per polygon part.
+    # The whole (multi)geometry flows through a single densify/voronoi/
+    # contains pipeline — the reference never special-cases multi-part
+    # input (_centerline.py:102-219: shapely segmentize / voronoi /
+    # prepared-contains all take the full geometry), so a 2-part
+    # MultiPolygon yields one centerline per part, merged.
+    groups = [
+        [np.asarray(r, dtype=float)[:, :2] for r in part.data]
+        for part in get_parts(geom)
+    ]
     if densify_distance != 0:
         if densify_distance > 0:
             max_seg = densify_distance
@@ -158,33 +174,37 @@ def centerline(
                 if factor_increase > 10:
                     max_seg *= factor_increase / 10
         if max_seg > 0:
-            dens = [segmentize_ring(r, max_seg) for r in rings]
-            dens_geom = Geometry(POLYGON, dens)
+            dens = [[segmentize_ring(r, max_seg) for r in g] for g in groups]
+            dens_geom = _groups_geometry(dens)
             min_a = min(polygon_area(geom), polygon_area(dens_geom))
             max_a = max(polygon_area(geom), polygon_area(dens_geom))
             if max_a > 0 and (max_a - min_a) / max_a <= 0.1:
-                rings = dens
+                groups = dens
 
     # 2. dedup repeated points @1e-8 — keep the original when dedup
     # degenerates a ring (reference keeps the deduped version only when
     # still valid, _centerline.py:158-159)
-    deduped = [_dedup_ring(r) for r in rings]
-    # only adopt the dedup when the shell keeps a valid quadrilateral+
-    # shape (matches the reference's validity guard; degenerate dedup
-    # falls back to the original ring, _centerline.py:158-159)
-    if len(np.unique(deduped[0][:-1], axis=0)) >= 4 and abs(
-        ring_signed_area(deduped[0])
-    ) > 0:
-        rings = deduped
+    deduped = [[_dedup_ring(r) for r in g] for g in groups]
+    # only adopt the dedup when every shell keeps a valid
+    # quadrilateral+ shape (matches the reference's validity guard;
+    # degenerate dedup falls back to the original, _centerline.py:158-159)
+    if all(
+        len(np.unique(g[0][:-1], axis=0)) >= 4 and abs(ring_signed_area(g[0])) > 0
+        for g in deduped
+    ):
+        groups = deduped
 
-    # 3. voronoi edges of the boundary sites
-    sites = np.vstack([r[:-1] for r in rings])
+    # 3. voronoi edges of the boundary sites (all parts together)
+    all_rings = [r for g in groups for r in g]
+    sites = np.vstack([r[:-1] for r in all_rings])
     sites = np.unique(np.round(sites, 12), axis=0)
     vedges = voronoi_edges(sites)
 
     # 4. keep edges contained in the polygon (vectorized across all
-    # edges at once: chain-crossing batch + PIP of 3 samples per edge)
-    boundary_rings = [np.asarray(r) for r in rings]
+    # edges at once: chain-crossing batch + PIP of 3 samples per edge).
+    # For multi-part input, inter-part voronoi edges fail the PIP test
+    # and drop out here, leaving per-part skeletons.
+    boundary_rings = [np.asarray(r) for r in all_rings]
     edges_arr = np.array(vedges)  # (E, 2, 2)
     crosses = np.zeros(len(edges_arr), dtype=bool)
     for ring in boundary_rings:
