@@ -934,18 +934,21 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geodesic (great-circle spherical) polygon area on pole triangles
-    — Girard closed form: a triangle with two vertices on the equator
-    separated by dl degrees and one at the north pole has both base
-    angles pi/2 and apex angle dl, so its spherical excess (= unit-
-    sphere area) is exactly radians(dl). Exercises the geographic-CRS
-    area kernel behind remove_inner_rings(crs_geographic=True)
-    (reference _general.py:530-537)."""
+    """Exact ellipsoidal geodesic polygon area on WGS84 pole wedges —
+    closed form: a "triangle" bounded by two meridians dl degrees apart
+    and the equator covers dl/360 of a hemisphere, so its area is
+    radians(dl) * Z(pi/2) with Z the closed-form zone function
+    (geom/geodesic.py). This is the geographic-CRS area kernel behind
+    remove_inner_rings(crs_geographic=True) (reference
+    _general.py:530-537 = pyproj Geod / Karney ellipsoidal area).
+    Output scaled to 1e13 m^2 so round(.., 9) checks ~1e-10 relative
+    — far below the quadrature error, far above 1-ulp libm drift
+    between numpy and DuckDB."""
     import pandas as pdl
 
     from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
-    from pygeoops_spark.geom.kernels import ring_area_geodesic
-    from pygeoops_spark.geom.wkb import get_coordinates, wkb_loads
+    from pygeoops_spark.geom.geodesic import ring_area_ellipsoidal
+    from pygeoops_spark.geom.wkb import wkb_loads
     from pyspark.sql.types import DoubleType
 
     rows = []
@@ -957,16 +960,16 @@ def _q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(pdl.DataFrame(rows, columns=["tri_id", "wkb"]))
 
     @F.pandas_udf(DoubleType())
-    def area_sr(wkbs: pd.Series) -> pd.Series:
+    def area_e13(wkbs: pd.Series) -> pd.Series:
         import numpy as np
 
         out = []
         for b in wkbs:
             g = wkb_loads(bytes(b))
-            out.append(ring_area_geodesic(np.asarray(g.data[0]), radius=1.0))
+            out.append(ring_area_ellipsoidal(np.asarray(g.data[0])) / 1e13)
         return pd.Series(out)
 
-    return df.select("tri_id", F.round(area_sr("wkb"), 9).alias("area_sr"))
+    return df.select("tri_id", F.round(area_e13("wkb"), 9).alias("area_e13"))
 
 
 def _q_buffer_point_area(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1530,12 +1533,33 @@ def oracle_sql() -> dict[str, str]:
             FROM range(1000) t(i)
         """,
         "geodesic_area": """
-            -- Girard: pole triangle with equatorial base dl degrees has
-            -- spherical excess = radians(dl) exactly (base angles are
-            -- both pi/2, apex = dl)
+            -- WGS84 pole wedge, ellipsoidal closed form: the wedge
+            -- between two meridians dl degrees apart covers dl/360 of
+            -- a hemisphere: A = radians(dl) * Z(pi/2), where
+            -- Z(pi/2) = (a^2/2) * (1 + (1-e^2) * atanh(e)/e) is the
+            -- closed-form zone function (total ellipsoid area is
+            -- 4*pi*Z(pi/2) = 510065621724088.44 m^2)
+            WITH wgs AS (
+                SELECT CAST(6378137.0 AS DOUBLE) AS a,
+                       CAST(1.0 AS DOUBLE) / CAST(298.257223563 AS DOUBLE) AS f
+            ), e AS (
+                SELECT a, sqrt(f * (CAST(2.0 AS DOUBLE) - f)) AS ecc,
+                       f * (CAST(2.0 AS DOUBLE) - f) AS e2
+                FROM wgs
+            ), zp AS (
+                SELECT (a * a / CAST(2.0 AS DOUBLE))
+                       * (CAST(1.0 AS DOUBLE)
+                          + (CAST(1.0 AS DOUBLE) - e2)
+                            * (CAST(0.5 AS DOUBLE)
+                               * ln((CAST(1.0 AS DOUBLE) + ecc)
+                                    / (CAST(1.0 AS DOUBLE) - ecc)) / ecc))
+                       AS z_pole
+                FROM e
+            )
             SELECT i AS tri_id,
-                   round(radians(1 + (i * 7) % 50), 9) AS area_sr
-            FROM range(64) t(i)
+                   round(radians(1 + (i * 7) % 50) * z_pole
+                         / CAST(1e13 AS DOUBLE), 9) AS area_e13
+            FROM range(64) t(i), zp
         """,
         "buffer_point_area": """
             SELECT i AS pt_id,

@@ -148,11 +148,12 @@ def remove_inner_rings(
     crs_geographic: bool = False,
 ) -> Geometry | None:
     """Drop interior rings with |area| <= min_area_to_keep (0 => drop
-    all). With crs_geographic=True, ring areas are geodesic m^2 on the
-    WGS84 authalic sphere (lon/lat degree coords) — the reference's
+    all). With crs_geographic=True, ring areas are exact ellipsoidal
+    geodesic m^2 on WGS84 (lon/lat degree coords) — the reference's
     geographic-CRS branch (/root/reference/pygeoops/_general.py:530-537
-    uses pyproj Geod; ours is the exact great-circle spherical area,
-    see kernels.ring_area_geodesic).
+    uses pyproj Geod = Karney's ellipsoidal area; ours evaluates the
+    same quantity via the auxiliary-sphere integrals, see
+    geom.geodesic.ring_area_ellipsoidal).
     """
     if geom is None:
         return None
@@ -160,9 +161,9 @@ def remove_inner_rings(
     def ring_area(ring) -> float:
         arr = np.asarray(ring)
         if crs_geographic:
-            from pygeoops_spark.geom.kernels import ring_area_geodesic
+            from pygeoops_spark.geom.geodesic import ring_area_ellipsoidal
 
-            return ring_area_geodesic(arr)
+            return ring_area_ellipsoidal(arr)
         return abs(ring_signed_area(arr))
 
     def one(p: Geometry) -> Geometry:

@@ -1,0 +1,370 @@
+"""Exact ellipsoidal geodesic polygon area (Bessel auxiliary sphere,
+numerically evaluated — no truncated series).
+
+Parity target: the reference's geographic-CRS ring area
+(/root/reference/pygeoops/_general.py:530-537) delegates to
+pyproj ``Geod.geometry_area_perimeter`` (Karney's ellipsoidal area).
+This module re-derives the same quantity from first principles instead
+of porting GeographicLib's 6th-order series:
+
+* The area element of an oblate ellipsoid integrates in closed form
+  over latitude: the "zone function"
+
+      Z(phi) = (a^2 (1-e^2) / 2) *
+               [ sin(phi) / (1 - e^2 sin^2 phi) + atanh(e sin phi)/e ]
+
+  is the area between the equator and latitude phi per radian of
+  longitude (d/dphi Z = a^2 (1-e^2) cos phi / (1-e^2 sin^2 phi)^2, the
+  exact area element; total ellipsoid area T = 4 pi Z(pi/2), the
+  textbook oblate-spheroid surface formula).
+
+* By Green's theorem, the area of a region bounded by geodesic edges
+  is  A = -oint Z(phi) dlambda + |w| T/2, where w is the winding
+  number of the boundary around the poles (w = 0 for rings that do
+  not enclose a pole; the smaller-side convention below folds the
+  enclosing cases).
+
+* Along one geodesic edge, Bessel's classical auxiliary-sphere
+  relations (reduced latitude tan(beta) = (1-f) tan(phi), Clairaut
+  constant sin(alpha0) = sin(alpha) cos(beta), arc parameter sigma
+  with sin(beta) = cos(alpha0) sin(sigma)) give the exact ODEs
+
+      dlambda/dsigma = sin(alpha0) (1-f) sqrt(1 + k^2 sin^2 sigma)
+                       / (1 - cos^2 alpha0 sin^2 sigma),
+      k^2 = e'^2 cos^2 alpha0,
+
+  so  S_edge = int Z(phi(sigma)) (dlambda/dsigma) dsigma  is a smooth
+  1-D integral evaluated with composite Gauss-Legendre to ~1e-15
+  relative.  The azimuths come from a Vincenty-style fixed-point
+  iteration on the auxiliary sphere where the longitude defect
+  lambda - omega is the exact integral of
+  [(1-f) sqrt(1 + k^2 sin^2 sigma) - 1] / (1 - cos^2 alpha0
+  sin^2 sigma)  (again Gauss-Legendre), rather than a truncated
+  series.
+
+Accuracy: all formulas above are exact; the only error is quadrature
+(composite GL-12 x 8 panels, ~1e-15 relative for edges that stay away
+from the poles) and inverse-iteration convergence (~f per iteration).
+Edges passing within ~1e-4 rad of a pole are re-evaluated with an
+adaptive Simpson fallback that resolves the near-polar peak of
+1/(1 - cos^2 alpha0 sin^2 sigma).  Tests validate against an
+independent exact geodesic ODE integrator (RK4 on the textbook
+meridional/normal curvature-radius equations) and against the exact
+closed forms for pole wedges and hemispheres.
+
+Vertices exactly at a pole are handled like the covering-space Green
+contour: the incoming and outgoing meridian edges carry their
+neighbours' longitudes and the polar "phantom" segment contributes
+Z(+-pi/2) * dlambda.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+_GL_X, _GL_W = np.polynomial.legendre.leggauss(12)
+_N_PANELS = 8
+# flattened composite nodes/weights over [0, 1]
+_FRAC = np.concatenate(
+    [(p + (_GL_X + 1.0) / 2.0) / _N_PANELS for p in range(_N_PANELS)]
+)
+_FRAC_W = np.concatenate([_GL_W / (2.0 * _N_PANELS) for _ in range(_N_PANELS)])
+
+
+def zone_area(sinphi, a: float = WGS84_A, f: float = WGS84_F):
+    """Z(phi): area between equator and phi per radian of longitude."""
+    e2 = f * (2.0 - f)
+    s = np.asarray(sinphi, dtype=float)
+    if e2 < 1e-14:
+        return a * a * s
+    e = math.sqrt(e2)
+    return (a * a * (1.0 - e2) / 2.0) * (
+        s / (1.0 - e2 * s * s) + np.arctanh(e * s) / e
+    )
+
+
+def ellipsoid_area(a: float = WGS84_A, f: float = WGS84_F) -> float:
+    """Total surface area T = 4 pi Z(pi/2)."""
+    return 4.0 * math.pi * float(zone_area(1.0, a, f))
+
+
+def _reduced_lat(phi: np.ndarray, f: float) -> np.ndarray:
+    """beta = atan((1-f) tan(phi)), pole-safe."""
+    return np.arctan2((1.0 - f) * np.sin(phi), np.cos(phi))
+
+
+def _lambda_defect_integrand(sig, sina0, cosa0_sq, f):
+    """[(1-f) sqrt(1+k^2 sin^2 s) - 1] / (1 - cos^2(a0) sin^2 s)."""
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    sin2 = np.sin(sig) ** 2
+    k2 = ep2 * cosa0_sq
+    # denominator clamp: exact-meridian edges (sin a0 = 0) hit 0/0 at
+    # sigma = pi/2; their contribution is multiplied by sin(a0) = 0
+    # anyway, so any finite value is correct
+    den = np.maximum(1.0 - cosa0_sq * sin2, 1e-30)
+    return ((1.0 - f) * np.sqrt(1.0 + k2 * sin2) - 1.0) / den
+
+
+def _area_integrand(sig, sina0, cosa0_sq, a, f):
+    """Z(phi(sigma)) * dlambda/dsigma along the geodesic."""
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2) if e2 < 1.0 else 0.0
+    sin_s = np.sin(sig)
+    sin2 = sin_s * sin_s
+    k2 = ep2 * cosa0_sq
+    sinbeta = np.sqrt(cosa0_sq) * sin_s
+    # sin(phi) from sin(beta): sin^2 phi = sin^2 beta / (1 - e^2 cos^2 beta)
+    sinphi = sinbeta / np.sqrt(1.0 - e2 * (1.0 - sinbeta * sinbeta))
+    den = np.maximum(1.0 - cosa0_sq * sin2, 1e-30)  # see _lambda_defect_integrand
+    dlam_dsig = sina0 * (1.0 - f) * np.sqrt(1.0 + k2 * sin2) / den
+    return zone_area(sinphi, a, f) * dlam_dsig
+
+
+def _adaptive_simpson(fun, lo, hi, tol, depth=30):
+    def simp(x0, x2, f0, f1, f2):
+        return (x2 - x0) / 6.0 * (f0 + 4.0 * f1 + f2)
+
+    def rec(x0, x2, f0, f1, f2, whole, d):
+        xm = 0.5 * (x0 + x2)
+        xl, xr = 0.5 * (x0 + xm), 0.5 * (xm + x2)
+        fl, fr = fun(xl), fun(xr)
+        left = simp(x0, xm, f0, fl, f1)
+        right = simp(xm, x2, f1, fr, f2)
+        if d <= 0 or abs(left + right - whole) < 15.0 * tol:
+            return left + right + (left + right - whole) / 15.0
+        return rec(x0, xm, f0, fl, f1, left, d - 1) + rec(
+            xm, x2, f1, fr, f2, right, d - 1
+        )
+
+    mid = 0.5 * (lo + hi)
+    f0, f1, f2 = fun(lo), fun(mid), fun(hi)
+    return rec(lo, hi, f0, f1, f2, simp(lo, hi, f0, f1, f2), depth)
+
+
+def _solve_edges(beta1, beta2, L, f, polar_scalar=True):
+    """Vectorized inverse solve on the auxiliary sphere.
+
+    Returns (sina0, cosa0_sq, sig1, sigd, degenerate_mask). Iterates
+    the exact longitude-defect relation Lambda = L - sin(alpha0) * I
+    to convergence (Vincenty's fixed point with the exact integrand).
+    """
+    sinb1, cosb1 = np.sin(beta1), np.cos(beta1)
+    sinb2, cosb2 = np.sin(beta2), np.cos(beta2)
+    lam = L.copy()
+    sina0 = np.zeros_like(L)
+    cosa0_sq = np.ones_like(L)
+    sig1 = np.zeros_like(L)
+    sigd = np.zeros_like(L)
+    degen = np.zeros(len(L), dtype=bool)
+    for _ in range(30):
+        sinl, cosl = np.sin(lam), np.cos(lam)
+        n1 = cosb2 * sinl
+        n2 = cosb1 * sinb2 - sinb1 * cosb2 * cosl
+        sinsig = np.hypot(n1, n2)
+        cossig = sinb1 * sinb2 + cosb1 * cosb2 * cosl
+        degen = sinsig < 1e-15
+        sigd = np.arctan2(sinsig, cossig)
+        alpha1 = np.arctan2(n1, n2)
+        sina0 = np.sin(alpha1) * cosb1
+        cosa0_sq = np.clip(1.0 - sina0 * sina0, 0.0, 1.0)
+        sig1 = np.arctan2(sinb1, cosb1 * np.cos(alpha1))
+        # exact longitude defect integral per edge (composite GL)
+        nodes = sig1[:, None] + sigd[:, None] * _FRAC[None, :]
+        g = _lambda_defect_integrand(
+            nodes, sina0[:, None], cosa0_sq[:, None], f
+        )
+        defect = sigd * (g * _FRAC_W[None, :]).sum(axis=1)
+        lam_new = np.where(degen, lam, L - sina0 * defect)
+        if np.max(np.abs(lam_new - lam)) < 1e-15:
+            lam = lam_new
+            break
+        lam = lam_new
+    return sina0, cosa0_sq, sig1, sigd, degen
+
+
+def _edge_polar_flag(sina0, cosa0_sq, sig1, sigd):
+    """Edges whose sigma-span strictly contains sigma = pi/2 (mod pi)
+    while sin^2(alpha0) is small: the 1/(1 - cos^2 a0 sin^2 s) peak
+    needs adaptive quadrature.  Exact meridians (|sin a0| < 1e-15,
+    i.e. a geodesic passing within ~1e-9 m of the pole) are excluded —
+    they run through the pole and contribute exactly zero."""
+    s2 = sina0 * sina0
+    peaky = (s2 < 1e-3) & (np.abs(sina0) >= 1e-15)
+    lo, hi = sig1, sig1 + sigd
+    # nearest odd multiple of pi/2 at or above lo
+    kk = np.ceil((lo - math.pi / 2.0) / math.pi)
+    peak = math.pi / 2.0 + kk * math.pi
+    return peaky & (peak > lo + 1e-12) & (peak < hi - 1e-12) & (sigd > 1e-12)
+
+
+def ring_area_ellipsoidal(
+    ring: np.ndarray, a: float = WGS84_A, f: float = WGS84_F
+) -> float:
+    """Unsigned ellipsoidal geodesic area of a lon/lat ring (degrees),
+    in m^2 (with the default WGS84 a).  Edges are geodesics (same
+    convention as pyproj Geod).  Rings larger than half the ellipsoid
+    return the complement (smaller side), matching
+    kernels.ring_area_geodesic's spherical convention."""
+    arr = np.asarray(ring, dtype=float)[:, :2]
+    if len(arr) >= 2 and np.array_equal(arr[0], arr[-1]):
+        arr = arr[:-1]
+    if len(arr) >= 2:  # drop consecutive duplicates
+        keep = np.ones(len(arr), dtype=bool)
+        keep[1:] = np.any(arr[1:] != arr[:-1], axis=1)
+        arr = arr[keep]
+    if len(arr) < 3:
+        return 0.0
+
+    lon = np.radians(arr[:, 0])
+    lat = np.radians(arr[:, 1])
+
+    # pole vertices -> split into (pole, lambda_prev), (pole, lambda_next)
+    # so the polar phantom segment is an explicit same-pole edge
+    at_pole = np.abs(np.abs(lat) - math.pi / 2.0) < 1e-15
+    if at_pole.any():
+        lon2, lat2 = [], []
+        n = len(arr)
+        for i in range(n):
+            if at_pole[i]:
+                lon2.append(lon[(i - 1) % n])
+                lat2.append(lat[i])
+                lon2.append(lon[(i + 1) % n])
+                lat2.append(lat[i])
+            else:
+                lon2.append(lon[i])
+                lat2.append(lat[i])
+        lon, lat = np.asarray(lon2), np.asarray(lat2)
+
+    lon_n = np.roll(lon, -1)
+    lat_n = np.roll(lat, -1)
+    # normalized per-edge longitude difference (geodesics take the
+    # short way; |dL| <= pi)
+    dL = np.remainder(lon_n - lon + math.pi, 2.0 * math.pi) - math.pi
+
+    T = ellipsoid_area(a, f)
+    z_pole = float(zone_area(1.0, a, f))
+
+    # phantom edges: both endpoints at the same pole
+    pole_edge = (np.abs(np.abs(lat) - math.pi / 2.0) < 1e-15) & (lat == lat_n)
+    # Z is odd in phi: Z(north pole) = +z_pole, Z(south pole) = -z_pole
+    oint = 0.0
+    for i in np.nonzero(pole_edge)[0]:
+        oint += (z_pole if lat[i] > 0 else -z_pole) * float(dL[i])
+
+    live = ~pole_edge
+    if live.any():
+        beta1 = _reduced_lat(lat[live], f)
+        beta2 = _reduced_lat(lat_n[live], f)
+        L = dL[live]
+        sina0, cosa0_sq, sig1, sigd, degen = _solve_edges(beta1, beta2, L, f)
+        # exact meridians contribute zero (and their clamped integrand
+        # would only add quadrature noise)
+        ok = ~degen & (np.abs(sina0) >= 1e-15)
+        nodes = sig1[:, None] + sigd[:, None] * _FRAC[None, :]
+        vals = _area_integrand(nodes, sina0[:, None], cosa0_sq[:, None], a, f)
+        s_edges = sigd * (vals * _FRAC_W[None, :]).sum(axis=1)
+        s_edges = np.where(ok, s_edges, 0.0)
+        # near-polar edges: adaptive re-evaluation resolves the peak
+        for i in np.nonzero(_edge_polar_flag(sina0, cosa0_sq, sig1, sigd) & ok)[0]:
+            scale = abs(s_edges[i]) + z_pole * abs(L[i]) + 1.0
+            s_edges[i] = _adaptive_simpson(
+                lambda s: float(
+                    _area_integrand(
+                        np.array([s]), sina0[i], cosa0_sq[i], a, f
+                    )[0]
+                ),
+                float(sig1[i]),
+                float(sig1[i] + sigd[i]),
+                1e-14 * scale,
+            )
+        oint += float(s_edges.sum())
+
+    w = round(float(dL.sum()) / (2.0 * math.pi))
+    area = -oint + abs(w) * T / 2.0
+    area = abs(area)
+    if area > T / 2.0:
+        area = T - area
+    return area
+
+
+def polygon_area_ellipsoidal(geom, a: float = WGS84_A, f: float = WGS84_F) -> float:
+    """Unsigned ellipsoidal area: |shell| minus |holes| over parts."""
+    from pygeoops_spark.geom.wkb import POLYGON, get_parts
+
+    total = 0.0
+    for part in get_parts(geom):
+        if part.type_id != POLYGON or not part.data:
+            continue
+        total += ring_area_ellipsoidal(np.asarray(part.data[0]), a, f)
+        for hole in part.data[1:]:
+            total -= ring_area_ellipsoidal(np.asarray(hole), a, f)
+    return total
+
+
+# -- exact ODE ground truth (tests only) ----------------------------------
+def geodesic_ode_path(
+    phi1: float,
+    lam1: float,
+    alpha1: float,
+    s_total: float,
+    n_steps: int,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+) -> np.ndarray:
+    """Integrate the exact geodesic ODEs in geographic coordinates with
+    RK4 (textbook meridional radius M and normal radius N):
+
+        dphi/ds    = cos(alpha) / M(phi)
+        dlambda/ds = sin(alpha) / (N(phi) cos(phi))
+        dalpha/ds  = sin(alpha) tan(phi) / N(phi)
+
+    Returns an (n_steps+1, 3) array of (phi, lambda, alpha).  Used as
+    independent ground truth for the auxiliary-sphere area integrals;
+    O(h^4) accurate, so ~1e-12 relative at 1e4 steps for ~100 km arcs.
+    """
+    e2 = f * (2.0 - f)
+
+    def deriv(y):
+        phi, _lam, alpha = y
+        s2 = math.sin(phi) ** 2
+        wfac = math.sqrt(1.0 - e2 * s2)
+        M = a * (1.0 - e2) / wfac**3
+        N = a / wfac
+        return np.array(
+            [
+                math.cos(alpha) / M,
+                math.sin(alpha) / (N * math.cos(phi)),
+                math.sin(alpha) * math.tan(phi) / N,
+            ]
+        )
+
+    h = s_total / n_steps
+    y = np.array([phi1, lam1, alpha1], dtype=float)
+    out = [y.copy()]
+    for _ in range(n_steps):
+        k1 = deriv(y)
+        k2 = deriv(y + 0.5 * h * k1)
+        k3 = deriv(y + 0.5 * h * k2)
+        k4 = deriv(y + h * k3)
+        y = y + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+        out.append(y.copy())
+    return np.asarray(out)
+
+
+def edge_length_ellipsoidal(
+    sina0, cosa0_sq, sig1, sigd, a: float = WGS84_A, f: float = WGS84_F
+) -> float:
+    """Geodesic edge length b * int sqrt(1 + k^2 sin^2 sigma) dsigma
+    (for the ODE cross-check in tests)."""
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    k2 = ep2 * cosa0_sq
+    nodes = sig1 + sigd * _FRAC
+    vals = np.sqrt(1.0 + k2 * np.sin(nodes) ** 2)
+    return float(a * (1.0 - f) * sigd * (vals * _FRAC_W).sum())

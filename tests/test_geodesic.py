@@ -1,0 +1,242 @@
+"""Ellipsoidal geodesic area tests.
+
+Ground truth comes from three independent sources, none of which share
+code with the kernel under test:
+
+1. Closed forms that are exact on the ellipsoid (pole wedges bounded
+   by meridians + equator, hemispheres, the total-surface identity).
+2. An exact geodesic ODE integrator (RK4 on the textbook meridional /
+   normal curvature-radius equations) — validates both the inverse
+   azimuth solve (landing error) and the per-edge area integral
+   (Green sum of Z dlambda along a dense path).
+3. The spherical kernel (kernels.ring_area_geodesic, itself pinned by
+   Girard closed forms) in the f -> 0 limit.
+
+Reference parity target: _general.py:530-537 (pyproj Geod /
+GeographicLib Karney area).  The total WGS84 surface area below,
+510065621724088.44 m^2, equals GeographicLib's published value.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from pygeoops_spark.geom.geodesic import (
+    WGS84_A,
+    WGS84_F,
+    _reduced_lat,
+    _solve_edges,
+    edge_length_ellipsoidal,
+    ellipsoid_area,
+    geodesic_ode_path,
+    polygon_area_ellipsoidal,
+    ring_area_ellipsoidal,
+    zone_area,
+)
+from pygeoops_spark.geom.kernels import ring_area_geodesic
+
+
+def test_total_area_closed_form():
+    # textbook oblate-spheroid surface area; matches GeographicLib's
+    # published WGS84 value
+    assert ellipsoid_area() == pytest.approx(510065621724088.44, rel=1e-12)
+
+
+def test_zone_function_derivative_is_area_element():
+    # dZ/dphi must equal the exact area element a^2(1-e^2)cos(phi)
+    # / (1-e^2 sin^2 phi)^2 — central difference at several latitudes
+    e2 = WGS84_F * (2 - WGS84_F)
+    for phi in np.radians([-80.0, -42.0, -5.0, 0.0, 13.0, 55.0, 88.0]):
+        h = 1e-6
+        num = (
+            float(zone_area(math.sin(phi + h))) - float(zone_area(math.sin(phi - h)))
+        ) / (2 * h)
+        s2 = math.sin(phi) ** 2
+        exact = WGS84_A**2 * (1 - e2) * math.cos(phi) / (1 - e2 * s2) ** 2
+        assert num == pytest.approx(exact, rel=1e-8)
+
+
+@pytest.mark.parametrize("dl", [1.0, 30.0, 89.0, 120.0])
+def test_pole_wedge_exact(dl):
+    # two meridians + equator: A = radians(dl) * Z(pi/2), exact
+    ring = np.array([[0, 0], [dl, 0], [dl, 90], [0, 0]], float)
+    exp = math.radians(dl) * float(zone_area(1.0))
+    assert ring_area_ellipsoidal(ring) == pytest.approx(exp, rel=1e-13)
+
+
+def test_south_pole_wedge_exact():
+    ring = np.array([[0, 0], [0, -90], [40, 0], [0, 0]], float)
+    exp = math.radians(40) * float(zone_area(1.0))
+    assert ring_area_ellipsoidal(ring) == pytest.approx(exp, rel=1e-12)
+
+
+def test_hemisphere_via_equatorial_ring():
+    ring = np.array([[0, 0], [120, 0], [240, 0], [0, 0]], float)
+    assert ring_area_ellipsoidal(ring) == pytest.approx(
+        ellipsoid_area() / 2, rel=1e-14
+    )
+
+
+def test_sphere_limit_matches_spherical_kernel():
+    rng = np.random.default_rng(7)
+    R = 6371000.0
+    for _ in range(8):
+        n = int(rng.integers(3, 9))
+        lon0, lat0 = rng.uniform(-150, 150), rng.uniform(-60, 60)
+        ang = np.sort(rng.uniform(0, 2 * math.pi, n))
+        r = rng.uniform(0.1, 3.0, n)
+        ring = np.column_stack(
+            [lon0 + r * np.cos(ang), lat0 + r * np.sin(ang)]
+        )
+        ring = np.vstack([ring, ring[:1]])
+        got = ring_area_ellipsoidal(ring, a=R, f=0.0)
+        exp = ring_area_geodesic(ring, radius=R)
+        assert got == pytest.approx(exp, rel=1e-11)
+
+
+def _ode_ring_area(pts_deg: np.ndarray, n_steps: int = 20000) -> float:
+    """Independent ground truth: inverse-solve each edge only for its
+    initial azimuth, then RK4-integrate the exact geodesic ODEs and
+    Green-sum Z dlambda along the dense path."""
+    f = WGS84_F
+    n = len(pts_deg)
+    oint = 0.0
+    dl_sum = 0.0
+    for i in range(n):
+        p1, p2 = pts_deg[i], pts_deg[(i + 1) % n]
+        phi1, lam1 = math.radians(p1[1]), math.radians(p1[0])
+        phi2, lam2 = math.radians(p2[1]), math.radians(p2[0])
+        b1 = float(_reduced_lat(np.array([phi1]), f)[0])
+        b2 = float(_reduced_lat(np.array([phi2]), f)[0])
+        dL = (lam2 - lam1 + math.pi) % (2 * math.pi) - math.pi
+        sina0, ca2, s1, sd, _deg = _solve_edges(
+            np.array([b1]), np.array([b2]), np.array([dL]), f
+        )
+        ca0 = math.sqrt(float(ca2[0]))
+        a1 = math.atan2(
+            float(sina0[0]) / math.cos(b1),
+            ca0 * math.cos(float(s1[0])) / math.cos(b1),
+        )
+        slen = edge_length_ellipsoidal(
+            float(sina0[0]), float(ca2[0]), float(s1[0]), float(sd[0])
+        )
+        path = geodesic_ode_path(phi1, lam1, a1, slen, n_steps)
+        # landing check: the azimuth from the inverse solve must carry
+        # the ODE onto the target vertex
+        land = math.hypot(
+            path[-1, 0] - phi2,
+            (path[-1, 1] - lam2 + math.pi) % (2 * math.pi) - math.pi,
+        )
+        assert land * WGS84_A < 1e-5  # metres
+        zs = zone_area(np.sin(path[:, 0]))
+        zmid = 0.5 * (zs[:-1] + zs[1:])
+        dlam = np.diff(path[:, 1])
+        oint += float((zmid * dlam).sum())
+        dl_sum += dL
+    w = round(dl_sum / (2 * math.pi))
+    area = abs(-oint + abs(w) * ellipsoid_area() / 2)
+    if area > ellipsoid_area() / 2:
+        area = ellipsoid_area() - area
+    return area
+
+
+def test_general_quadrilateral_vs_ode_truth():
+    pts = np.array([[10.0, 40.0], [12.5, 41.0], [12.0, 43.5], [9.5, 42.5]])
+    got = ring_area_ellipsoidal(np.vstack([pts, pts[:1]]))
+    truth = _ode_ring_area(pts)
+    assert got == pytest.approx(truth, rel=1e-11)
+
+
+def test_southern_triangle_vs_ode_truth():
+    pts = np.array([[150.0, -35.0], [153.0, -37.5], [148.5, -38.0]])
+    got = ring_area_ellipsoidal(np.vstack([pts, pts[:1]]))
+    truth = _ode_ring_area(pts)
+    # the edge S-sums are ~20x the enclosed area here, so the ODE
+    # truth's trapezoid error is amplified by the cancellation
+    assert got == pytest.approx(truth, rel=1e-9)
+
+
+def test_near_polar_edge_vs_ode_truth():
+    # edge from (0, 80) to (179, 80) passes ~10 km from the pole:
+    # exercises the adaptive quadrature path for the 1/(1 - cos^2 a0
+    # sin^2 sigma) peak
+    pts = np.array([[0.0, 80.0], [179.0, 80.0], [90.0, 60.0]])
+    got = ring_area_ellipsoidal(np.vstack([pts, pts[:1]]))
+    truth = _ode_ring_area(pts, n_steps=60000)
+    assert got == pytest.approx(truth, rel=5e-9)  # ODE-resolution bound
+
+
+def test_pole_enclosing_ring():
+    # geodesic square at lat 80 enclosing the north pole: winding
+    # correction path; complement symmetry: reversed traversal folds
+    # to the same unsigned smaller side
+    pts = np.array([[0.0, 80.0], [90.0, 80.0], [180.0, 80.0], [270.0, 80.0]])
+    ring = np.vstack([pts, pts[:1]])
+    got = ring_area_ellipsoidal(ring)
+    rev = ring_area_ellipsoidal(ring[::-1])
+    assert got == pytest.approx(rev, rel=1e-12)
+    # bounded by the caps of the circumscribed / inscribed parallels:
+    # the geodesic edges bulge poleward of lat 80, so the enclosed cap
+    # is smaller than the lat-80 cap and larger than the cap at the
+    # edges' maximum latitude (< 81.6 for this square)
+    T = ellipsoid_area()
+    cap80 = T / 2 - 2 * math.pi * float(zone_area(math.sin(math.radians(80))))
+    cap82 = T / 2 - 2 * math.pi * float(zone_area(math.sin(math.radians(82))))
+    assert cap82 < got < cap80
+
+
+def test_orientation_and_duplicate_invariance():
+    pts = np.array([[10.0, 40.0], [12.5, 41.0], [12.0, 43.5], [9.5, 42.5]])
+    ring = np.vstack([pts, pts[:1]])
+    a1 = ring_area_ellipsoidal(ring)
+    a2 = ring_area_ellipsoidal(ring[::-1])
+    assert a1 == pytest.approx(a2, rel=1e-12)
+    dup = np.vstack([pts[:2], pts[1:2], pts[2:], pts[:1]])  # repeated vertex
+    assert ring_area_ellipsoidal(dup) == pytest.approx(a1, rel=1e-12)
+
+
+def test_split_additivity():
+    # triangle ABC + triangle ACD = quadrilateral ABCD (shared diagonal
+    # cancels; checks sign/orientation handling of S_edge)
+    A, B, C, D = [10.0, 40.0], [12.5, 41.0], [12.0, 43.5], [9.5, 42.5]
+    quad = ring_area_ellipsoidal(np.array([A, B, C, D, A]))
+    t1 = ring_area_ellipsoidal(np.array([A, B, C, A]))
+    t2 = ring_area_ellipsoidal(np.array([A, C, D, A]))
+    assert t1 + t2 == pytest.approx(quad, rel=1e-12)
+
+
+def test_polygon_with_hole():
+    shell = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)
+    hole = np.array(
+        [[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6], [0.4, 0.4]], float
+    )
+    from pygeoops_spark.geom.wkb import Geometry, POLYGON
+
+    poly = Geometry(POLYGON, [shell, hole])
+    got = polygon_area_ellipsoidal(poly)
+    exp = ring_area_ellipsoidal(shell) - ring_area_ellipsoidal(hole)
+    assert got == pytest.approx(exp, rel=1e-14)
+    # sanity: 1 degree square at the equator is ~12,309 km^2, minus a
+    # 4% hole -> ~11,817 km^2
+    assert 1.15e10 < got < 1.22e10
+
+
+def test_degenerate_rings():
+    assert ring_area_ellipsoidal(np.array([[0, 0], [1, 1], [0, 0]], float)) == 0.0
+    assert (
+        ring_area_ellipsoidal(np.array([[5, 5], [5, 5], [5, 5], [5, 5]], float))
+        == 0.0
+    )
+
+
+def test_vs_spherical_divergence_is_ellipsoidal_scale():
+    # the ellipsoidal and authalic-sphere areas must agree to ~0.3%
+    # (same total area) but differ beyond 1e-5 at mid latitudes — i.e.
+    # the new kernel is genuinely ellipsoidal, not the sphere again
+    pts = np.array([[10.0, 40.0], [12.5, 41.0], [12.0, 43.5], [9.5, 42.5]])
+    ring = np.vstack([pts, pts[:1]])
+    ell = ring_area_ellipsoidal(ring)
+    sph = ring_area_geodesic(ring)
+    rel = abs(ell - sph) / ell
+    assert 1e-5 < rel < 3e-3
