@@ -1,6 +1,7 @@
 """make_valid tests — reference tests/test_simplify.py:181-251 M-shape
 scenarios (self-touch -> 2 parts, self-cross -> 3 parts)."""
 
+import numpy as np
 import pytest
 
 from pygeoops_spark.geom import polygon, wkt_loads
@@ -128,3 +129,165 @@ def test_make_valid_only_if_invalid_detects_collapsed_shell():
     fast = make_valid(flat, keep_collapsed=True, only_if_invalid=True)
     slow = make_valid(flat, keep_collapsed=True)
     assert fast.geom_type == slow.geom_type == "LINESTRING"
+
+
+# -- nonzero-winding property sweep ---------------------------------------
+def _winding_number(px: float, py: float, ring: np.ndarray) -> int:
+    """Independent signed-crossing winding number (Sunday's algorithm);
+    shares no code with points_in_polygon (crossing parity)."""
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    up = (y1 <= py) & (y2 > py)
+    down = (y1 > py) & (y2 <= py)
+    cross = (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1)
+    return int((up & (cross > 0)).sum()) - int((down & (cross < 0)).sum())
+
+
+def _dist_to_edges(px: float, py: float, ring: np.ndarray) -> float:
+    from pygeoops_spark.geom.kernels import point_segment_distance
+
+    n = len(ring) - 1
+    d = point_segment_distance(
+        np.full(n, px), np.full(n, py),
+        ring[:-1, 0], ring[:-1, 1], ring[1:, 0], ring[1:, 1],
+    )
+    return float(d.min())
+
+
+def _point_in_output(px: float, py: float, parts) -> bool:
+    from pygeoops_spark.geom.kernels import points_in_polygon
+
+    for p in parts:
+        if points_in_polygon(np.array([px]), np.array([py]), p)[0]:
+            return True
+    return False
+
+
+def test_make_valid_nonzero_winding_property_sweep():
+    """1000 random self-intersecting quads/hexes/octagons: the repaired
+    output must be VALID (simple shells, holes inside their shell,
+    interior-disjoint parts) and cover exactly the nonzero-winding
+    region of the input ring (membership parity at random probes away
+    from the boundary)."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.kernels import points_in_polygon
+    from pygeoops_spark.geom.validity import _ring_loops, make_valid
+    from pygeoops_spark.geom.wkb import POLYGON, get_parts
+
+    rng = np.random.default_rng(42)
+    n_cases = 1000
+    checked_probes = 0
+    for case in range(n_cases):
+        nv = int(rng.choice([4, 6, 8]))
+        pts = rng.uniform(0.0, 10.0, (nv, 2)).round(3)
+        ring = np.vstack([pts, pts[:1]])
+        poly = polygon([tuple(p) for p in pts])
+        out = make_valid(poly, keep_collapsed=False)
+        parts = (
+            []
+            if out is None
+            else [p for p in get_parts(out) if p.type_id == POLYGON]
+        )
+
+        # 1. validity of every part
+        for p in parts:
+            assert len(_ring_loops(np.asarray(p.data[0]))) == 1, (
+                f"case {case}: non-simple shell"
+            )
+            for h in p.data[1:]:
+                assert len(_ring_loops(np.asarray(h))) == 1
+        # parts' interiors disjoint: each part's interior point is in no
+        # other part
+        if len(parts) > 1:
+            from pygeoops_spark.geom.validity import _loop_interior_point
+
+            for i, p in enumerate(parts):
+                rep = _loop_interior_point(np.asarray(p.data[0]))
+                for j, q in enumerate(parts):
+                    if i != j:
+                        assert not points_in_polygon(
+                            np.array([rep[0]]), np.array([rep[1]]), q
+                        )[0], f"case {case}: overlapping parts"
+
+        # 2. membership parity vs the independent winding oracle
+        probes = rng.uniform(-0.5, 10.5, (40, 2))
+        for px, py in probes:
+            if _dist_to_edges(px, py, ring) < 1e-6:
+                continue
+            want = _winding_number(px, py, ring) != 0
+            got = _point_in_output(px, py, parts)
+            assert got == want, (
+                f"case {case}: probe ({px}, {py}) winding mismatch "
+                f"(want {want}) ring={pts.tolist()}"
+            )
+            checked_probes += 1
+    assert checked_probes > 30000  # the sweep actually ran
+
+
+def test_make_valid_self_touch_annulus():
+    """A hole encoded into the shell ring by self-touching (outer CCW,
+    bridge, inner CW) becomes a polygon with an interior ring."""
+    from pygeoops_spark.geom import wkt_dumps, wkt_loads
+    from pygeoops_spark.geom.validity import make_valid
+
+    g = wkt_loads(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0, 2 2, 2 8, 8 8, 8 2, 2 2, 0 0))"
+    )
+    out = make_valid(g)
+    assert out.geom_type == "POLYGON"
+    assert len(out.data) == 2  # shell + hole
+    assert polygon_area(out) == pytest.approx(100 - 36)
+
+
+def test_make_valid_island_in_self_touch_hole():
+    """A CCW loop nested inside the CW hole loop (winding 0 -> 1 again)
+    becomes a separate polygon part."""
+    from pygeoops_spark.geom import wkt_loads
+    from pygeoops_spark.geom.validity import make_valid
+    from pygeoops_spark.geom.wkb import get_parts
+
+    g = wkt_loads(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0, 2 2, 2 8, 8 8, 8 2, 2 2, "
+        "0 0, 4 4, 6 4, 6 6, 4 6, 4 4, 0 0))"
+    )
+    out = make_valid(g)
+    parts = get_parts(out)
+    assert len(parts) == 2
+    areas = sorted(polygon_area(p) for p in parts)
+    assert areas[0] == pytest.approx(4)  # the island
+    assert areas[1] == pytest.approx(64)  # annulus 100 - 36
+
+
+def test_make_valid_pentagram_nonzero():
+    """Pentagram ring: the doubly-wound centre pentagon stays covered
+    (nonzero rule; area = full star, not the even-odd outline)."""
+    import math
+
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.validity import make_valid
+
+    pts = [
+        (math.cos(math.radians(90 + 144 * i)), math.sin(math.radians(90 + 144 * i)))
+        for i in range(5)
+    ]
+    out = make_valid(polygon(pts))
+    # exact identity: shoelace of the star ring = 2x centre pentagon
+    # + 1x each point triangle, so the nonzero-covered area equals
+    # shoelace - pentagon-core.  The core's circumradius is
+    # cos(2pi/5)/cos(pi/5) at angles 90 + 36 + 72k degrees.
+    from pygeoops_spark.geom.kernels import ring_signed_area
+
+    ring = np.array(pts + [pts[0]])
+    r_core = math.cos(2 * math.pi / 5) / math.cos(math.pi / 5)
+    core = np.array(
+        [
+            (
+                r_core * math.cos(math.radians(90 + 36 + 72 * i)),
+                r_core * math.sin(math.radians(90 + 36 + 72 * i)),
+            )
+            for i in range(5)
+        ]
+    )
+    core = np.vstack([core, core[:1]])
+    expected = abs(ring_signed_area(ring)) - abs(ring_signed_area(core))
+    assert polygon_area(out) == pytest.approx(expected, rel=1e-6)
