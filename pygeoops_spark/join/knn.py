@@ -35,10 +35,28 @@ def knn_join(
     ty: str = "y",
     broadcast_targets: bool = True,
     guarantee_exact: bool = False,
+    _caches: list | None = None,
 ) -> DataFrame:
     """Top-k nearest targets per probe (Euclidean), deterministic
     tie-break on target key. Output: probe columns + target_key + dist + knn_rank.
+
+    Cache lifecycle (guarantee_exact): every radius-doubling level
+    persists its probes x k `ranked` frame for the exactness check; the
+    TOP-level call eagerly localCheckpoints the final union and then
+    unpersists every level's cache, so repeated exact kNN joins in a
+    long session no longer accumulate storage (the checkpoint itself is
+    GC-cleaned with the returned DataFrame).
     """
+    top_level = _caches is None
+    if _caches is None:
+        _caches = []
+
+    def _finish(df: DataFrame) -> DataFrame:
+        if top_level and _caches:
+            df = df.localCheckpoint(eager=True)
+            for c in _caches:
+                c.unpersist()
+        return df
     t = targets.select(
         F.col(target_key).alias("_tkey"),
         F.col(tx).alias("_tx"),
@@ -61,27 +79,25 @@ def knn_join(
         .where(F.col("knn_rank") <= k)
     )
     if not guarantee_exact:
-        return ranked
+        return _finish(ranked)
     if radius >= (1 << level):
         # the ring already covers the whole grid: candidates were ALL
         # targets, so `ranked` is exact (probes still short of k rows
         # genuinely have fewer than k targets in existence)
-        return ranked
+        return _finish(ranked)
     # Exactness check: k-th distance must be <= the guaranteed covered
     # radius (radius * cell_size, the inradius of the ring box from the
     # probe's own cell). Probes failing it re-run with doubled radius.
     # `ranked` is persisted first: it is only probes x k rows (the
     # candidate explosion and window are already reduced), but the
     # check's isEmpty() action and the final output would otherwise
-    # both recompute that expensive plan from scratch. The cache is
-    # deliberately NOT unpersisted here — the returned frame still
-    # reads from it; it is LRU-evictable/spillable, bounded at
-    # probes x k rows per call. Long-lived sessions issuing many
-    # guarantee_exact calls should unpersist results they are done
-    # with (or spark.catalog.clearCache()).
+    # both recompute that expensive plan from scratch. The handle is
+    # collected in _caches and unpersisted by the top-level _finish
+    # once the final result is checkpointed.
     from pyspark import StorageLevel
 
     ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    _caches.append(ranked)
     safe = float(radius) * cell_size(level)
     kth = ranked.groupBy(probe_key).agg(
         F.max("dist").alias("_kth"), F.count("*").alias("_n")
@@ -95,10 +111,10 @@ def knn_join(
     )
     bad = bad.unionByName(missing)
     if bad.isEmpty():
-        return ranked
+        return _finish(ranked)
     good = ranked.join(bad, probe_key, "left_anti")
     redo = probes.join(bad, probe_key, "left_semi")
-    return good.unionByName(
+    return _finish(good.unionByName(
         knn_join(
             redo,
             targets,
@@ -113,8 +129,9 @@ def knn_join(
             ty=ty,
             broadcast_targets=broadcast_targets,
             guarantee_exact=True,
+            _caches=_caches,
         )
-    )
+    ))
 
 
 def knn_join_bruteforce(

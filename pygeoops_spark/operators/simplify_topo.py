@@ -274,6 +274,17 @@ def simplify_topo(
                         if sigs[i] != sigs[i - 1]:
                             start = i
                             break
+                    else:
+                        # uniform signature (e.g. an island whose whole
+                        # shell coincides with another feature's hole):
+                        # both owners must build the IDENTICAL arc, so
+                        # rotate to the lexicographically smallest
+                        # snapped vertex instead of this ring's
+                        # arbitrary first vertex (ADVICE r02)
+                        start = min(
+                            range(n),
+                            key=lambda i: (_k(segs_l[i][0]), _k(segs_l[i][1])),
+                        )
                     order = list(range(start, n)) + list(range(0, start))
                 # group consecutive equal signatures into arcs
                 arcs: list[list[int]] = []

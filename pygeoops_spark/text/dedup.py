@@ -25,6 +25,19 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 61) - 1
 
 
+
+def _materialize_and_release(result: DataFrame, caches) -> DataFrame:
+    """Eagerly localCheckpoint the (comparatively small) result frame,
+    then unpersist the O(corpus) intermediate caches, so repeated calls
+    in a long session do not accumulate cached shingle/signature
+    tables.  The checkpoint itself is GC-cleaned when the returned
+    DataFrame is dropped (unlike a persist, which would need an
+    explicit unpersist by the caller)."""
+    out = result.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out
+
 def _hash_family(k: int) -> list[tuple[int, int]]:
     # fixed multiplicative-congruential constants (seedless, reproducible)
     params = []
@@ -170,10 +183,11 @@ def jaccard_pairs(
         .withColumn("common", F.size(F.array_intersect("_sa", "_sb")))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
+    return _materialize_and_release(
         common.where(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        [arr],
     )
 
 
@@ -284,10 +298,11 @@ def minhash_lsh_pairs(
         .withColumn("common", F.size(F.array_intersect("_sa", "_sb")))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return (
+    return _materialize_and_release(
         sized.where(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        [arr],
     )
 
 
@@ -375,10 +390,11 @@ def simhash_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    return _materialize_and_release(
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        [sig],
     )
 
 

@@ -56,13 +56,18 @@ def connected_components(
     rounds; at the fixed point the edge set IS the star (node -> root),
     so labels fall out without a final propagation pass. Convergence is
     detected by an order-insensitive (count, bit_xor(hash)) signature —
-    one cheap agg per round over the just-checkpointed edges."""
+    one cheap agg per round over the just-checkpointed edges.
+
+    Nodes that appear ONLY in self-pairs (id_a == id_b) are emitted as
+    their own singleton components, so the result is a complete
+    node -> component map over every node mentioned in `pairs`."""
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     e = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .where(F.col("u") != F.col("v"))
+        raw.where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    selfers = raw.where(F.col("u") == F.col("v")).select("u").distinct()
 
     def sig(df: DataFrame):
         return tuple(
@@ -95,7 +100,15 @@ def connected_components(
     roots = e.select(F.col("v").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    return labels.unionByName(roots)
+    out = labels.unionByName(roots)
+    # self-pair-only nodes: singleton components (anti-join keeps the
+    # broadcastable small side on the right only when selfers is small;
+    # at scale this is one extra shuffle over the self-pair subset)
+    singles = (
+        selfers.join(out.select(F.col("node").alias("u")), "u", "left_anti")
+        .select(F.col("u").alias("node"), F.col("u").alias("component"))
+    )
+    return out.unionByName(singles)
 
 
 def sessionize(

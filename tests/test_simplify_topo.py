@@ -139,3 +139,41 @@ def test_simplify_topo_none_and_unsupported_rows_preserved(spark):
     assert len(rows) == 2
     assert rows[0] is not None
     assert rows[1] is None
+
+
+def test_simplify_topo_island_filling_hole_uniform_signature(spark):
+    """ADVICE r02: an island whose entire shell coincides with another
+    feature's hole has a UNIFORM fid-set signature all the way around
+    the ring, so there is no signature change to rotate to; both owners
+    must instead canonicalize to the lexicographically smallest snapped
+    vertex or their rotations can simplify differently.  The island
+    ring here starts at a different vertex (and winds the hole's
+    octagon differently) than the hole ring."""
+    from pygeoops_spark.geom import wkt_loads
+    from pygeoops_spark.operators.simplify_topo import simplify_topo
+
+    # octagonal hole/island: rdp@1.5 keeps 4-9 of the 8 vertices
+    # depending on where the closed chain starts, so rotation
+    # canonicalization is load-bearing here
+    hole_pts = [
+        (3, 3), (5, 2.9), (7, 3), (8, 5), (7, 7), (5, 7.1), (3, 7), (2, 5)
+    ]
+    outer = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    donut = mk_poly(outer, [list(reversed(hole_pts))])
+    # island = same ring, rotated to start elsewhere, opposite winding
+    island = mk_poly(hole_pts[3:] + hole_pts[:3])
+    df = spark.createDataFrame(
+        [(0, wkb_dumps(donut)), (1, wkb_dumps(island))], ["fid", "wkb"]
+    )
+    rows = {
+        r["fid"]: wkb_loads(bytes(r["simplified_wkb"]))
+        for r in simplify_topo(df, "fid", "wkb", 1.5, "rdp").collect()
+    }
+    hole_coords = {tuple(c) for c in np.asarray(rows[0].data[1])}
+    island_coords = {tuple(c) for c in np.asarray(rows[1].data[0])}
+    assert hole_coords == island_coords, (
+        f"shared boundary diverged:\nhole   {sorted(hole_coords)}\n"
+        f"island {sorted(island_coords)}"
+    )
+    # the near-collinear vertices were actually simplified away
+    assert len(island_coords) < len(hole_pts)

@@ -247,3 +247,34 @@ def test_knn_exact_for_probe_with_empty_initial_ring(spark):
         "pid", "tid_nn", "knn_rank"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_knn_exact_unpersists_level_caches(spark):
+    """ADVICE r02: guarantee_exact used to leave one persisted frame
+    per radius-doubling level per call.  Now only the final
+    localCheckpoint may remain persisted (GC-cleaned with the result):
+    a multi-level recursion adds at most ONE persistent RDD."""
+    import pandas as pd
+
+    from pygeoops_spark.join.knn import knn_join
+
+    probes = spark.createDataFrame(pd.DataFrame({"pid": [0], "x": [10.0], "y": [10.0]}))
+    targets = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "tid": list(range(5)),
+                "x": [900.0, 910.0, 920.0, 930.0, 940.0],
+                "y": [900.0, 910.0, 920.0, 930.0, 940.0],
+            }
+        )
+    )
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    res = knn_join(
+        probes, targets, "pid", "tid", k=3, level=5, radius=1, guarantee_exact=True
+    )
+    assert res.count() == 3
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after - before <= 1, (
+        f"knn_join leaked {after - before} persistent RDDs (expected <= 1 "
+        "for the final checkpoint)"
+    )
