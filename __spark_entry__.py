@@ -304,16 +304,19 @@ def _ann_recall_check(spark: SparkSession, sf_dir: str, approx_fn, floor_hits: i
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat recall bounded-check: k-means-quantized nprobe search
-    must keep >= 1 of the exact top-5 for EVERY query (measured min at
-    sf0.01 is exactly 1, mean 2.9; the pipeline is deterministic —
+    with 3-way target multi-assignment must keep >= 2 of the exact
+    top-5 for EVERY query (measured min at sf0.01 is 3, mean 4.5 —
+    floor 2 leaves one hit of margin; the pipeline is deterministic —
     hash-sampled training set, stable Lloyd iterations)."""
     from pygeoops_spark.ann.cosine import cosine_topk_ivf
 
     return _ann_recall_check(
         spark,
         sf_dir,
-        lambda q, t: cosine_topk_ivf(q, t, k=5, n_cells=16, nprobe=4),
-        floor_hits=1,
+        lambda q, t: cosine_topk_ivf(
+            q, t, k=5, n_cells=16, nprobe=4, t_assign=3, train_iters=8
+        ),
+        floor_hits=2,
     )
 
 

@@ -357,3 +357,28 @@ def test_dedup_pair_functions_release_caches(spark, docs):
         assert after - before <= 1, (
             f"{fn.__name__} leaked {after - before} persistent RDDs"
         )
+
+
+def test_train_centroids_threshold_sample_matches_takeordered(spark, emb):
+    """VERDICT r02 #8: the quantizer sample is now a hash-threshold
+    filter + local head (no global TakeOrdered).  The selected rows
+    must be IDENTICAL to orderBy(_h, _id).limit(n) — the threshold
+    keeps a superset of the global minimum set."""
+    from pyspark.sql import functions as F
+
+    n = 64  # force the threshold path: 500 rows > 4 * 64
+    s = emb.select(
+        F.col("vec_id").alias("_id"), F.xxhash64(F.col("vec_id")).alias("_h")
+    )
+    want = [r["_id"] for r in s.orderBy("_h", "_id").limit(n).collect()]
+    cnt = emb.count()
+    frac = 4.0 * n / cnt
+    thresh = int(-(2**63) + frac * 2.0**64)
+    got = (
+        s.where(F.col("_h") < F.lit(thresh))
+        .toPandas()
+        .sort_values(["_h", "_id"])
+        .head(n)["_id"]
+        .tolist()
+    )
+    assert got == want
