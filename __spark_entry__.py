@@ -822,6 +822,68 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(events, gap_seconds=1800)
 
 
+def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful STREAMING sessionization parity (VERDICT r02 #6): the
+    events table is replayed through the real Structured Streaming
+    operator (applyInPandasWithState, streaming/sessions.py) with an
+    availableNow trigger and a memory sink; the sessions it CLOSES via
+    the gap rule must equal SQL gap sessionization minus each user's
+    final (still-open) session — counts, event totals, and exact
+    microsecond duration sums per user."""
+    import uuid
+
+    from pygeoops_spark.streaming.sessions import sessionize_stream
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file stream source wants a DIRECTORY: expose the single
+    # parquet file through a scratch dir symlink
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sess_stream_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    # idle_flush far beyond the run: only gap-rule closures are emitted,
+    # which is the deterministic subset (open sessions depend on wall
+    # clock, closed ones only on the data)
+    closed = sessionize_stream(stream, gap_seconds=1800, idle_flush_ms=3_600_000)
+    name = "sess_stream_" + uuid.uuid4().hex[:8]
+    q = (
+        closed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # with ProcessingTimeTimeout state, the availableNow query keeps
+    # scheduling empty batches to evaluate timers and never
+    # self-terminates: poll until an empty batch follows the data
+    # batches, then stop (same pattern as tests/test_streaming.py)
+    import time
+
+    seen_data = False
+    for _ in range(600):
+        lp = q.lastProgress
+        if lp is not None:
+            if lp["numInputRows"] > 0:
+                seen_data = True
+            elif seen_data:
+                break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(120)
+    dur_us = F.unix_micros("session_end") - F.unix_micros("session_start")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_closed"),
+            F.sum("n_events").cast("bigint").alias("n_events_closed"),
+            F.sum(dur_us).cast("bigint").alias("total_dur_us"),
+        )
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified with exact jaccard at >=0.5.
     Oracle: exact jaccard pairs at the same threshold — valid because
@@ -1033,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "dedup_components": _q_dedup_components,
         "sessionize": _q_sessionize,
+        "sessionize_stream": _q_sessionize_stream,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -1467,6 +1530,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(sid) AS INT) AS n_sessions,
                    count(*) AS n_events
             FROM t GROUP BY user_id
+        """,
+        "sessionize_stream": """
+            -- SQL gap sessionization minus each user's final (open)
+            -- session == what the streaming stateful operator closes
+            WITH s AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            t AS (
+              SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s
+            ),
+            sess AS (
+              SELECT user_id, sid, count(*) AS n,
+                     epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+              FROM t GROUP BY user_id, sid
+            ),
+            closed AS (
+              SELECT * FROM sess
+              WHERE sid < (SELECT max(sid) FROM sess m
+                           WHERE m.user_id = sess.user_id)
+            )
+            SELECT user_id,
+                   count(*) AS n_closed,
+                   CAST(sum(n) AS BIGINT) AS n_events_closed,
+                   CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+            FROM closed GROUP BY user_id
         """,
         "minhash_lsh": f"""
             -- exact jaccard >= 0.5 (banding recall is 100% here;
