@@ -351,6 +351,57 @@ def main() -> None:
     throughput["difference_geoms_per_sec"] = round(n_d / dt, 1)
 
     total = time.time() - t_total0
+
+    _text_scaling_out = None
+    if os.environ.get("SPARK_GRAFT_TEXT_SCALING", "0") == "1":
+        # corpus-size scaling for the text-dedup layer (VERDICT r02
+        # #4): jaccard candidates / verified pairs / CC rounds and
+        # wall times at n and 10n synthetic docs (synth_docs: long-tail
+        # vocabulary, 1-in-10 constructed near-dups). The law being
+        # evidenced: candidates and time grow ~linearly in corpus size
+        # at fixed threshold; CC rounds grow O(log n).
+        from pygeoops_spark.corpus.pages import synth_docs
+        from pygeoops_spark.text.dedup import (
+            _jaccard_candidates,
+            jaccard_pairs,
+            minhash_lsh_pairs,
+            shingle_hash_arrays,
+        )
+        from pygeoops_spark.text.pipeline import connected_components
+
+        base_n = int(os.environ.get("SPARK_GRAFT_TEXT_SCALING_N", "5000"))
+        text_scaling: dict = {}
+        for n in (base_n, 10 * base_n):
+            docs = synth_docs(spark, n).localCheckpoint(eager=True)
+            row: dict = {}
+            t0 = time.monotonic()
+            row["jaccard_cands"] = _jaccard_candidates(
+                shingle_hash_arrays(docs, "doc_id", "text", 3), "doc_id", 0.5
+            ).count()
+            row["jaccard_cand_sec"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            pairs = jaccard_pairs(docs, threshold=0.5)
+            row["jaccard_pairs"] = pairs.count()
+            row["jaccard_sec"] = round(time.monotonic() - t0, 3)
+            t0 = time.monotonic()
+            row["minhash_pairs"] = minhash_lsh_pairs(docs, threshold=0.5).count()
+            row["minhash_sec"] = round(time.monotonic() - t0, 3)
+            stats: dict = {}
+            t0 = time.monotonic()
+            connected_components(pairs, stats=stats).count()
+            row["cc_sec"] = round(time.monotonic() - t0, 3)
+            row["cc_rounds"] = stats["rounds"]
+            text_scaling[f"docs_{n}"] = row
+        s, l = text_scaling[f"docs_{base_n}"], text_scaling[f"docs_{10 * base_n}"]
+        text_scaling["cand_growth_x"] = round(
+            l["jaccard_cands"] / max(s["jaccard_cands"], 1), 2
+        )
+        text_scaling["jaccard_time_growth_x"] = round(
+            l["jaccard_sec"] / max(s["jaccard_sec"], 1e-9), 2
+        )
+        _text_scaling_out = text_scaling
+
+
     spark.stop()
 
     out = {
@@ -361,6 +412,8 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "throughput": throughput,
     }
+    if _text_scaling_out is not None:
+        out["text_scaling"] = _text_scaling_out
 
     if os.environ.get("SPARK_GRAFT_SCALING", "0") == "1":
         # N -> 4N evidence: the three scaling workloads at local[N]

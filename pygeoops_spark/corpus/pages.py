@@ -128,3 +128,55 @@ def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> D
         x.cast("double").alias("x"),
         y.cast("double").alias("y"),
     )
+
+
+def synth_docs(
+    spark: SparkSession, n_docs: int, words_per_doc: int = 40, partitions: int | None = None
+) -> DataFrame:
+    """Deterministic documents corpus at ANY scale, generated entirely
+    executor-side from the row id (pure SQL: no driver data, no UDF —
+    the generator itself is 10^12-safe).
+
+    Near-dup structure by construction: every doc with id % 10 == 9 is
+    a copy of id-1 with its first two words re-rolled, giving
+    3-shingle jaccard ~0.8 — so TRUE near-dup pairs grow exactly
+    linearly with corpus size.
+
+    Vocabulary follows natural text: half the tokens come from a small
+    common-word core (high document frequency), half from a long tail
+    that GROWS with the corpus (~4 x n_docs distinct tail words —
+    Heaps' law).  This matters for the scaling law being evidenced:
+    PPJoin candidate counts are ~ sum over prefix shingles of df^2,
+    which is linear in corpus size exactly when per-shingle df stays
+    bounded — true for long-tail text, false for a saturated closed
+    vocabulary (an early version of this generator used the 32-word
+    core alone and measured 178x candidate growth for 10x docs: a
+    data-inherent quadratic, not an operator defect).  Used by the
+    corpus-scaling evidence (tests/test_corpus_scaling.py, bench
+    text-scaling block)."""
+    df = spark.range(0, n_docs, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    vocab = F.array(*[F.lit(w) for w in WORDS])
+    tail_size = max(4 * n_docs, 64)
+    is_dup = (i % 10) == F.lit(9)
+    base = F.when(is_dup, i - 1).otherwise(i)
+
+    def word_at(j: int):
+        seed = F.when(
+            is_dup & F.lit(j < 2), F.xxhash64(i, F.lit(j), F.lit("mut"))
+        ).otherwise(F.xxhash64(base, F.lit(j)))
+        common = F.element_at(
+            vocab, (F.pmod(seed, F.lit(len(WORDS))) + 1).cast("int")
+        )
+        tail = F.concat(F.lit("t"), F.pmod(seed, F.lit(tail_size)))
+        return F.when(F.pmod(seed, F.lit(2)) == 0, common).otherwise(tail)
+
+    words = [word_at(j) for j in range(words_per_doc)]
+    return df.select(
+        i.alias("doc_id"),
+        F.concat_ws(" ", *words).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("es"), F.lit("zh"), F.lit("de"), F.lit("fr")),
+            (F.pmod(F.xxhash64(base), F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+    )
