@@ -857,23 +857,35 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # with ProcessingTimeTimeout state, the availableNow query keeps
     # scheduling empty batches to evaluate timers and never
-    # self-terminates: poll until an empty batch follows the data
-    # batches, then stop (same pattern as tests/test_streaming.py)
+    # self-terminates: poll CUMULATIVE progress (recentProgress — a
+    # single lastProgress read can miss a fast data batch) until an
+    # empty batch follows the data batches, then stop.  Fail loudly if
+    # the data batch was never observed to complete — stopping an
+    # in-flight batch would silently emit a partial table.
     import time
 
-    seen_data = False
-    for _ in range(600):
-        lp = q.lastProgress
-        if lp is not None:
-            if lp["numInputRows"] > 0:
-                seen_data = True
-            elif seen_data:
+    try:
+        seen_data = False
+        done = False
+        for _ in range(600):
+            for lp in q.recentProgress:
+                if lp["numInputRows"] > 0:
+                    seen_data = True
+                elif seen_data:
+                    done = True
+            if done:
                 break
-        time.sleep(0.5)
-    q.stop()
-    q.awaitTermination(120)
+            time.sleep(0.5)
+        if not done:
+            raise RuntimeError(
+                "sessionize_stream: data batch did not complete within the "
+                "poll budget; refusing to emit a partial memory-sink table"
+            )
+    finally:
+        q.stop()
+        q.awaitTermination(120)
     dur_us = F.unix_micros("session_end") - F.unix_micros("session_start")
-    return (
+    out = (
         spark.table(name)
         .groupBy("user_id")
         .agg(
@@ -881,7 +893,16 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("bigint").alias("n_events_closed"),
             F.sum(dur_us).cast("bigint").alias("total_dur_us"),
         )
+        # materialize so the memory-sink table and scratch dir can be
+        # dropped (repeated runs in one session no longer accumulate
+        # sink tables holding full result rows)
+        .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(name)
+    import shutil
+
+    shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1646,12 +1667,14 @@ def oracle_sql() -> dict[str, str]:
                        f * (CAST(2.0 AS DOUBLE) - f) AS e2
                 FROM wgs
             ), zp AS (
-                SELECT (a * a / CAST(2.0 AS DOUBLE))
-                       * (CAST(1.0 AS DOUBLE)
-                          + (CAST(1.0 AS DOUBLE) - e2)
-                            * (CAST(0.5 AS DOUBLE)
-                               * ln((CAST(1.0 AS DOUBLE) + ecc)
-                                    / (CAST(1.0 AS DOUBLE) - ecc)) / ecc))
+                -- expression structure mirrors geom/geodesic.py
+                -- zone_area(1.0): (a^2 (1-e2) / 2) * (1/(1-e2) + atanh(e)/e)
+                -- so the doubles track the Spark side ulp-for-ulp
+                SELECT (a * a * (CAST(1.0 AS DOUBLE) - e2) / CAST(2.0 AS DOUBLE))
+                       * (CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - e2)
+                          + (CAST(0.5 AS DOUBLE)
+                             * ln((CAST(1.0 AS DOUBLE) + ecc)
+                                  / (CAST(1.0 AS DOUBLE) - ecc))) / ecc)
                        AS z_pole
                 FROM e
             )

@@ -370,6 +370,17 @@ def main() -> None:
         from pygeoops_spark.text.pipeline import connected_components
 
         base_n = int(os.environ.get("SPARK_GRAFT_TEXT_SCALING_N", "5000"))
+        # unmeasured warm-up at the small size: the first run of each
+        # query shape pays JIT + Python-worker spin-up, which would
+        # otherwise inflate the small-corpus times and bias the growth
+        # ratios sub-linear (counts are unaffected; times are
+        # supplementary same-JVM evidence — the subprocess-isolated
+        # methodology of the core scaling block applies to the core
+        # workloads, see CLAUDE.md)
+        _w = synth_docs(spark, base_n).localCheckpoint(eager=True)
+        jaccard_pairs(_w, threshold=0.5).count()
+        minhash_lsh_pairs(_w, threshold=0.5).count()
+        connected_components(jaccard_pairs(_w, threshold=0.5)).count()
         text_scaling: dict = {}
         for n in (base_n, 10 * base_n):
             docs = synth_docs(spark, n).localCheckpoint(eager=True)

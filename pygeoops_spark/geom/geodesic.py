@@ -47,10 +47,17 @@ Accuracy: all formulas above are exact; the only error is quadrature
 from the poles) and inverse-iteration convergence (~f per iteration).
 Edges passing within ~1e-4 rad of a pole are re-evaluated with an
 adaptive Simpson fallback that resolves the near-polar peak of
-1/(1 - cos^2 alpha0 sin^2 sigma).  Tests validate against an
-independent exact geodesic ODE integrator (RK4 on the textbook
-meridional/normal curvature-radius equations) and against the exact
-closed forms for pole wedges and hemispheres.
+1/(1 - cos^2 alpha0 sin^2 sigma).  NEAR-ANTIPODAL edges — where the
+fixed point is known to oscillate because the shortest geodesic turns
+near-meridional over a pole — are detected by the iteration residual
+and solved exactly by SHOOTING the geodesic ODE on the departure
+azimuth (_edge_area_shoot: bracket + bisect + fine secant polish,
+in-step crossing refinement; ~1e-11 relative, a few seconds per such
+edge — they are pathological ~20,000 km ring edges).  Tests validate
+against an independent exact geodesic ODE integrator (RK4 on the
+textbook meridional/normal curvature-radius equations), against the
+exact closed forms for pole wedges and hemispheres, and against
+split-through-the-true-geodesic consistency for the antipodal case.
 
 Vertices exactly at a pole are handled like the covering-space Green
 contour: the incoming and outgoing meridian edges carry their
@@ -150,9 +157,16 @@ def _adaptive_simpson(fun, lo, hi, tol, depth=30):
 def _solve_edges(beta1, beta2, L, f, polar_scalar=True):
     """Vectorized inverse solve on the auxiliary sphere.
 
-    Returns (sina0, cosa0_sq, sig1, sigd, degenerate_mask). Iterates
-    the exact longitude-defect relation Lambda = L - sin(alpha0) * I
-    to convergence (Vincenty's fixed point with the exact integrand).
+    Returns (sina0, cosa0_sq, sig1, sigd, degenerate_mask, residual).
+    Iterates the exact longitude-defect relation
+    Lambda = L - sin(alpha0) * I to convergence (Vincenty's fixed
+    point with the exact integrand).  The per-edge residual is the
+    final |Lambda_new - Lambda|: the fixed point is known to oscillate
+    without converging for near-antipodal endpoints (|L| within ~0.5
+    deg of pi), where the true geodesic is near-meridional over a
+    pole; callers must route edges with residual > ~1e-9 to the exact
+    ODE-shooting fallback (_edge_area_shoot) instead of trusting the
+    returned parameters.
     """
     sinb1, cosb1 = np.sin(beta1), np.cos(beta1)
     sinb2, cosb2 = np.sin(beta2), np.cos(beta2)
@@ -162,6 +176,7 @@ def _solve_edges(beta1, beta2, L, f, polar_scalar=True):
     sig1 = np.zeros_like(L)
     sigd = np.zeros_like(L)
     degen = np.zeros(len(L), dtype=bool)
+    resid = np.zeros_like(L)
     for _ in range(30):
         sinl, cosl = np.sin(lam), np.cos(lam)
         n1 = cosb2 * sinl
@@ -181,11 +196,12 @@ def _solve_edges(beta1, beta2, L, f, polar_scalar=True):
         )
         defect = sigd * (g * _FRAC_W[None, :]).sum(axis=1)
         lam_new = np.where(degen, lam, L - sina0 * defect)
-        if np.max(np.abs(lam_new - lam)) < 1e-15:
+        resid = np.abs(lam_new - lam)
+        if np.max(resid) < 1e-15:
             lam = lam_new
             break
         lam = lam_new
-    return sina0, cosa0_sq, sig1, sigd, degen
+    return sina0, cosa0_sq, sig1, sigd, degen, resid
 
 
 def _edge_polar_flag(sina0, cosa0_sq, sig1, sigd):
@@ -201,6 +217,211 @@ def _edge_polar_flag(sina0, cosa0_sq, sig1, sigd):
     kk = np.ceil((lo - math.pi / 2.0) / math.pi)
     peak = math.pi / 2.0 + kk * math.pi
     return peaky & (peak > lo + 1e-12) & (peak < hi - 1e-12) & (sigd > 1e-12)
+
+
+def _rk4_geodesic_vec(phi, lam, alpha, h, a, f):
+    """One vectorized RK4 step of the exact geodesic ODEs in arc
+    length (dphi/ds = cos a / M, dlam/ds = sin a / (N cos phi),
+    da/ds = sin a tan phi / N) over candidate-azimuth state arrays."""
+    e2 = f * (2.0 - f)
+
+    def deriv(p, al):
+        s2 = np.sin(p) ** 2
+        w = np.sqrt(1.0 - e2 * s2)
+        M = a * (1.0 - e2) / w**3
+        N = a / w
+        return (
+            np.cos(al) / M,
+            np.sin(al) / (N * np.cos(p)),
+            np.sin(al) * np.tan(p) / N,
+        )
+
+    k1p, k1l, k1a = deriv(phi, alpha)
+    k2p, k2l, k2a = deriv(phi + 0.5 * h * k1p, alpha + 0.5 * h * k1a)
+    k3p, k3l, k3a = deriv(phi + 0.5 * h * k2p, alpha + 0.5 * h * k2a)
+    k4p, k4l, k4a = deriv(phi + h * k3p, alpha + h * k3a)
+    return (
+        phi + (h / 6.0) * (k1p + 2 * k2p + 2 * k3p + k4p),
+        lam + (h / 6.0) * (k1l + 2 * k2l + 2 * k3l + k4l),
+        alpha + (h / 6.0) * (k1a + 2 * k2a + 2 * k3a + k4a),
+    )
+
+
+def _shoot_crossing(phi1, lam1, alphas, L, a, f, n_steps, refine=True):
+    """Integrate the geodesic ODE from (phi1, lam1) for each candidate
+    departure azimuth until the accumulated longitude reaches L
+    (lambda is strictly monotone along a non-meridian geodesic by
+    Clairaut).  Returns (phi_at_crossing, s_at_crossing) arrays with
+    nan where no crossing happened within the length budget."""
+    m = len(alphas)
+    phi = np.full(m, phi1)
+    lam = np.zeros(m)
+    alpha = alphas.copy()
+    cross_phi = np.full(m, np.nan)
+    cross_s = np.full(m, np.nan)
+    live = np.ones(m, dtype=bool)
+    s_max = math.pi * a * 1.02  # just over half the circumference
+    h = s_max / n_steps
+    target = abs(L)
+    sgn = 1.0 if L >= 0 else -1.0
+    s = 0.0
+    for _ in range(n_steps):
+        if not live.any():
+            break
+        p2, l2, a2 = _rk4_geodesic_vec(phi, lam, alpha, h, a, f)
+        crossed = live & (sgn * l2 >= target)
+        if crossed.any() and not refine:
+            # coarse/bracketing use: linear interpolation is plenty
+            t = (target - sgn * lam[crossed]) / (
+                sgn * (l2[crossed] - lam[crossed])
+            )
+            cross_phi[crossed] = phi[crossed] + t * (p2[crossed] - phi[crossed])
+            cross_s[crossed] = s + t * h
+            live &= ~crossed
+        elif crossed.any():
+            # refine the crossing INSIDE the step by bisection on the
+            # partial-step size (a single RK4 partial step has error
+            # (t h)^5 — linear interpolation's h^2 curvature error
+            # would floor the landing accuracy at ~1e-7 rad)
+            for i in np.nonzero(crossed)[0]:
+                lo_t, hi_t = 0.0, 1.0
+                ph = np.array([phi[i]])
+                lm = np.array([lam[i]])
+                al = np.array([alpha[i]])
+                pt, lt = float(ph[0]), float(lm[0])
+                for _b in range(40):
+                    mid_t = 0.5 * (lo_t + hi_t)
+                    pm, lm2, _am = _rk4_geodesic_vec(ph, lm, al, mid_t * h, a, f)
+                    if sgn * float(lm2[0]) >= target:
+                        hi_t = mid_t
+                        pt, lt = float(pm[0]), float(lm2[0])
+                    else:
+                        lo_t = mid_t
+                cross_phi[i] = pt
+                cross_s[i] = s + hi_t * h
+            live &= ~crossed
+        # freeze finished candidates, and any that blew past a pole
+        bad = live & (np.abs(p2) > math.pi / 2 - 1e-12)
+        live &= ~bad
+        upd = live
+        phi = np.where(upd, p2, phi)
+        lam = np.where(upd, l2, lam)
+        alpha = np.where(upd, a2, alpha)
+        s += h
+    return cross_phi, cross_s
+
+
+def _edge_area_shoot(
+    phi1: float,
+    lam1: float,
+    phi2: float,
+    L: float,
+    a: float,
+    f: float,
+    n_steps: int = 4096,
+) -> float:
+    """Exact fallback for edges where the auxiliary-sphere fixed point
+    does not converge (near-antipodal endpoints, where the shortest
+    geodesic is near-meridional over a pole).  Solves the inverse
+    problem by SHOOTING the exact geodesic ODE on the departure
+    azimuth — bracketing sign changes of phi(at longitude L) - phi2
+    over an azimuth grid, bisecting, and picking the shortest
+    crossing — then Simpson-integrates Z(phi) dlambda along the
+    converged path.  Self-validating: raises if no azimuth lands on
+    the target vertex."""
+    sgn = 1.0 if L >= 0 else -1.0
+    # bracket on a coarse integrator (RK4 at ~40 km steps is already
+    # ~1e-9 rad accurate — bracketing and bisection need far less),
+    # integrate the chosen root at full resolution
+    n_coarse = max(n_steps // 8, 256)
+    grid = sgn * np.linspace(1e-6, math.pi - 1e-6, 97)
+    gphi, gs = _shoot_crossing(phi1, lam1, grid, L, a, f, n_coarse, refine=False)
+    g = gphi - phi2
+    roots = []
+    for i in range(len(grid) - 1):
+        if np.isnan(g[i]) or np.isnan(g[i + 1]) or g[i] * g[i + 1] > 0:
+            continue
+        lo, hi = grid[i], grid[i + 1]
+        glo = g[i]
+        # bisection only needs to land inside the fine secant's basin
+        for _ in range(20):
+            mid = 0.5 * (lo + hi)
+            mphi, ms = _shoot_crossing(
+                phi1, lam1, np.array([mid]), L, a, f, n_coarse, refine=False
+            )
+            gm = float(mphi[0]) - phi2
+            if math.isnan(gm):
+                break
+            if glo * gm <= 0:
+                hi = mid
+            else:
+                lo, glo = mid, gm
+        alpha = 0.5 * (lo + hi)
+        _p, s_cross = _shoot_crossing(
+            phi1, lam1, np.array([alpha]), L, a, f, n_steps
+        )
+        if not math.isnan(float(s_cross[0])):
+            roots.append((float(s_cross[0]), float(alpha)))
+    if not roots:
+        raise ValueError(
+            "geodesic edge inverse failed: near-antipodal endpoints with "
+            "no shooting bracket; densify the ring"
+        )
+    s_cross, alpha1 = min(roots)  # shortest geodesic
+
+    # polish the azimuth on the FULL-resolution integrator: the
+    # coarse-model root lands ~1e-7 rad off at fine resolution, and
+    # the area error is landing-offset x edge-length; secant brings
+    # the landing to ~1e-12 rad in 2-3 steps
+    def _g_fine(al):
+        p, sc = _shoot_crossing(phi1, lam1, np.array([al]), L, a, f, n_steps)
+        return float(p[0]) - phi2, float(sc[0])
+
+    g0, s_cross = _g_fine(alpha1)
+    da = 1e-8
+    for _ in range(4):
+        if abs(g0) < 1e-12:
+            break
+        g1, _sc = _g_fine(alpha1 + da)
+        deriv = (g1 - g0) / da
+        if deriv == 0 or math.isnan(deriv):
+            break
+        alpha1 -= g0 / deriv
+        g0, s_cross = _g_fine(alpha1)
+
+    # final pass: uniform steps ending exactly at the crossing, with
+    # Simpson over Z(phi) * dlambda/ds (needs even step count)
+    n = n_steps if n_steps % 2 == 0 else n_steps + 1
+    h = s_cross / n
+    e2 = f * (2.0 - f)
+    phi = np.array([phi1])
+    lam = np.array([0.0])
+    alpha = np.array([alpha1])
+    vals = []
+    phis = [phi1]
+
+    def integrand(p, al):
+        w = math.sqrt(1.0 - e2 * math.sin(p) ** 2)
+        dlam_ds = math.sin(al) / ((a / w) * math.cos(p))
+        return float(zone_area(math.sin(p), a, f)) * dlam_ds
+
+    vals.append(integrand(float(phi[0]), float(alpha[0])))
+    for _ in range(n):
+        phi, lam, alpha = _rk4_geodesic_vec(phi, lam, alpha, h, a, f)
+        vals.append(integrand(float(phi[0]), float(alpha[0])))
+        phis.append(float(phi[0]))
+    # landing check: the path must end on the target vertex
+    end_err = math.hypot(float(phi[0]) - phi2, float(lam[0]) - L)
+    if end_err > 1e-9:
+        raise ValueError(
+            f"geodesic edge shooting landed {end_err * a:.1f} m off the "
+            "target vertex; densify the ring"
+        )
+    v = np.asarray(vals)
+    simpson = (h / 3.0) * (
+        v[0] + v[-1] + 4.0 * v[1:-1:2].sum() + 2.0 * v[2:-1:2].sum()
+    )
+    return float(simpson)
 
 
 def ring_area_ellipsoidal(
@@ -262,10 +483,18 @@ def ring_area_ellipsoidal(
         beta1 = _reduced_lat(lat[live], f)
         beta2 = _reduced_lat(lat_n[live], f)
         L = dL[live]
-        sina0, cosa0_sq, sig1, sigd, degen = _solve_edges(beta1, beta2, L, f)
+        sina0, cosa0_sq, sig1, sigd, degen, resid = _solve_edges(
+            beta1, beta2, L, f
+        )
         # exact meridians contribute zero (and their clamped integrand
         # would only add quadrature noise)
         ok = ~degen & (np.abs(sina0) >= 1e-15)
+        # near-antipodal edges: the fixed point oscillates without
+        # converging (the true geodesic is near-meridional over a
+        # pole) — route to the exact ODE-shooting fallback instead of
+        # silently using the wrong parameters
+        shoot = ok & (resid > 1e-9)
+        ok &= ~shoot
         nodes = sig1[:, None] + sigd[:, None] * _FRAC[None, :]
         vals = _area_integrand(nodes, sina0[:, None], cosa0_sq[:, None], a, f)
         s_edges = sigd * (vals * _FRAC_W[None, :]).sum(axis=1)
@@ -282,6 +511,12 @@ def ring_area_ellipsoidal(
                 float(sig1[i]),
                 float(sig1[i] + sigd[i]),
                 1e-14 * scale,
+            )
+        # near-antipodal edges via the exact shooting path
+        lat_l, latn_l = lat[live], lat_n[live]
+        for i in np.nonzero(shoot)[0]:
+            s_edges[i] = _edge_area_shoot(
+                float(lat_l[i]), 0.0, float(latn_l[i]), float(L[i]), a, f
             )
         oint += float(s_edges.sum())
 

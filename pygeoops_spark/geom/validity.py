@@ -45,7 +45,7 @@ import math
 import numpy as np
 
 from pygeoops_spark.geom.kernels import points_in_polygon, ring_signed_area
-from pygeoops_spark.geom.overlay import _node_edges, _rings_to_polygons, _stitch
+from pygeoops_spark.geom.overlay import _key, _node_edges, _rings_to_polygons, _stitch
 from pygeoops_spark.geom.wkb import (
     Geometry,
     GEOMETRYCOLLECTION,
@@ -94,14 +94,11 @@ def _ring_loops(ring: np.ndarray) -> list[np.ndarray]:
         return []
     verts = [noded[0][0]] + [b for _a, b in noded]
 
-    def key(p):
-        return (round(p[0] / 1e-9), round(p[1] / 1e-9))
-
     loops: list[np.ndarray] = []
     path: list[np.ndarray] = []
     index: dict[tuple, int] = {}
     for v in verts:
-        k = key(v)
+        k = _key(v)
         if k in index:
             i = index[k]
             loop = path[i:] + [v]
@@ -110,7 +107,7 @@ def _ring_loops(ring: np.ndarray) -> list[np.ndarray]:
                 if abs(ring_signed_area(lp)) > 1e-12:
                     loops.append(lp)
             for p in path[i + 1 :]:
-                index.pop(key(p), None)
+                index.pop(_key(p), None)
             path = path[: i + 1]
         else:
             index[k] = len(path)
@@ -196,10 +193,6 @@ def _loop_interior_point(loop: np.ndarray) -> np.ndarray:
             return p
         t *= 0.5
     return c
-
-
-def _key(p) -> tuple:
-    return (round(p[0] / 1e-9), round(p[1] / 1e-9))
 
 
 def _nonzero_region(ring: np.ndarray):

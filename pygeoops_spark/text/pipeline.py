@@ -69,7 +69,12 @@ def connected_components(
     Pass stats={} to receive {"rounds": n} — the number of
     alternating-star rounds until the fixed point (scaling evidence:
     rounds grow O(log n))."""
-    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    # ONE materialization of the caller's (possibly expensive) pairs
+    # plan: both the edge set and the self-pair node set derive from
+    # the same checkpoint, so the plan is never evaluated twice
+    raw = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint(eager=True)
     e = (
         raw.where(F.col("u") != F.col("v"))
         .distinct()

@@ -110,7 +110,7 @@ def _ode_ring_area(pts_deg: np.ndarray, n_steps: int = 20000) -> float:
         b1 = float(_reduced_lat(np.array([phi1]), f)[0])
         b2 = float(_reduced_lat(np.array([phi2]), f)[0])
         dL = (lam2 - lam1 + math.pi) % (2 * math.pi) - math.pi
-        sina0, ca2, s1, sd, _deg = _solve_edges(
+        sina0, ca2, s1, sd, _deg, _res = _solve_edges(
             np.array([b1]), np.array([b2]), np.array([dL]), f
         )
         ca0 = math.sqrt(float(ca2[0]))
@@ -240,3 +240,23 @@ def test_vs_spherical_divergence_is_ellipsoidal_scale():
     sph = ring_area_geodesic(ring)
     rel = abs(ell - sph) / ell
     assert 1e-5 < rel < 3e-3
+
+
+def test_near_antipodal_edge_shooting_fallback():
+    """Code-review r03 finding: the auxiliary-sphere fixed point
+    oscillates for near-antipodal endpoints (the shortest geodesic is
+    near-meridional over a pole) and used to return a silently wrong
+    area (~28% off).  Such edges now route to the exact ODE-shooting
+    fallback.  Validation: split the long edge at a point ON its true
+    geodesic (precomputed with the polished fine integrator; the path
+    tops out at lat 81.85) — the two sub-triangles use the ordinary
+    converged path, and their sum must match the whole."""
+    tri = np.array([[0, 0.3], [179.9, -0.2], [90, 30], [0, 0.3]])
+    whole = ring_area_ellipsoidal(tri)
+    mid_lon, mid_lat = 91.67834365582266, 81.84953910527652
+    t1 = np.array([[0, 0.3], [mid_lon, mid_lat], [90, 30], [0, 0.3]])
+    t2 = np.array(
+        [[mid_lon, mid_lat], [179.9, -0.2], [90, 30], [mid_lon, mid_lat]]
+    )
+    split = ring_area_ellipsoidal(t1) + ring_area_ellipsoidal(t2)
+    assert whole == pytest.approx(split, rel=1e-9)
