@@ -905,6 +905,33 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_geodesic_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-geodesic distance on equatorial arcs — exact closed
+    form: the equator is a geodesic and its arc length is a * dlambda
+    exactly (the kernel's length integrand is constant b there and the
+    converged sigma-span is dlambda/(1-f)), so the oracle is pure
+    arithmetic.  General pairs are pinned by tests/test_geodesic.py
+    against the exact ODE integrator."""
+    import pandas as pdl
+
+    from pygeoops_spark.operators.geodesic import geodesic_distance_col
+
+    rows = []
+    for i in range(64):
+        dl = 1.0 + (i * 7) % 120
+        lon0 = float((i * 13) % 180 - 90)
+        rows.append((i, lon0, 0.0, lon0 + dl, 0.0))
+    df = spark.createDataFrame(
+        pdl.DataFrame(rows, columns=["pair_id", "lon1", "lat1", "lon2", "lat2"])
+    )
+    return df.select(
+        "pair_id",
+        F.round(
+            geodesic_distance_col("lon1", "lat1", "lon2", "lat2") / 1e7, 9
+        ).alias("dist_e7"),
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified with exact jaccard at >=0.5.
     Oracle: exact jaccard pairs at the same threshold — valid because
@@ -1117,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "sessionize": _q_sessionize,
         "sessionize_stream": _q_sessionize_stream,
+        "geodesic_distance": _q_geodesic_distance,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -1551,6 +1579,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(max(sid) AS INT) AS n_sessions,
                    count(*) AS n_events
             FROM t GROUP BY user_id
+        """,
+        "geodesic_distance": """
+            -- equatorial geodesic arc: s = a * radians(dl) exactly
+            SELECT i AS pair_id,
+                   round(CAST(6378137.0 AS DOUBLE)
+                         * radians(1 + (i * 7) % 120)
+                         / CAST(1e7 AS DOUBLE), 9) AS dist_e7
+            FROM range(64) t(i)
         """,
         "sessionize_stream": """
             -- SQL gap sessionization minus each user's final (open)

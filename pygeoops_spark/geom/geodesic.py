@@ -81,6 +81,12 @@ _FRAC = np.concatenate(
     [(p + (_GL_X + 1.0) / 2.0) / _N_PANELS for p in range(_N_PANELS)]
 )
 _FRAC_W = np.concatenate([_GL_W / (2.0 * _N_PANELS) for _ in range(_N_PANELS)])
+# lighter grid for the longitude-defect integral inside the inverse
+# iteration: the defect is O(f) and only needs ~1e-12 rad absolute, so
+# GL-8 x 4 panels is ample and runs ~3x cheaper per iteration
+_GL8_X, _GL8_W = np.polynomial.legendre.leggauss(8)
+_FRAC_DEF = np.concatenate([(p + (_GL8_X + 1.0) / 2.0) / 4.0 for p in range(4)])
+_FRAC_DEF_W = np.concatenate([_GL8_W / 8.0 for _ in range(4)])
 
 
 def zone_area(sinphi, a: float = WGS84_A, f: float = WGS84_F):
@@ -190,11 +196,11 @@ def _solve_edges(beta1, beta2, L, f, polar_scalar=True):
         cosa0_sq = np.clip(1.0 - sina0 * sina0, 0.0, 1.0)
         sig1 = np.arctan2(sinb1, cosb1 * np.cos(alpha1))
         # exact longitude defect integral per edge (composite GL)
-        nodes = sig1[:, None] + sigd[:, None] * _FRAC[None, :]
+        nodes = sig1[:, None] + sigd[:, None] * _FRAC_DEF[None, :]
         g = _lambda_defect_integrand(
             nodes, sina0[:, None], cosa0_sq[:, None], f
         )
-        defect = sigd * (g * _FRAC_W[None, :]).sum(axis=1)
+        defect = sigd * (g * _FRAC_DEF_W[None, :]).sum(axis=1)
         lam_new = np.where(degen, lam, L - sina0 * defect)
         resid = np.abs(lam_new - lam)
         if np.max(resid) < 1e-15:
@@ -540,6 +546,109 @@ def polygon_area_ellipsoidal(geom, a: float = WGS84_A, f: float = WGS84_F) -> fl
         for hole in part.data[1:]:
             total -= ring_area_ellipsoidal(np.asarray(hole), a, f)
     return total
+
+
+def geodesic_inverse(
+    lon1,
+    lat1,
+    lon2,
+    lat2,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+):
+    """Vectorized inverse geodesic: (distance_m, fwd_azimuth_rad) per
+    coordinate pair (degrees in, shortest-path convention |dlon| <= pi).
+
+    Uses the same auxiliary-sphere solve as the area kernel; the
+    distance is  b * int sqrt(1 + k^2 sin^2 sigma) dsigma  (exact,
+    composite Gauss-Legendre), the forward azimuth comes from
+    Clairaut's relations.  Equatorial arcs reduce to the closed form
+    a * dlambda exactly (the driver oracle); meridional arcs to the
+    meridian elliptic arc.  Near-antipodal pairs — where the fixed
+    point oscillates — fall back to the exact ODE shooting solver.
+    Coincident points return (0, 0)."""
+    lon1 = np.atleast_1d(np.asarray(lon1, dtype=float))
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=float))
+    lon2 = np.atleast_1d(np.asarray(lon2, dtype=float))
+    lat2 = np.atleast_1d(np.asarray(lat2, dtype=float))
+    phi1, phi2 = np.radians(lat1), np.radians(lat2)
+    L = np.remainder(np.radians(lon2 - lon1) + math.pi, 2.0 * math.pi) - math.pi
+    beta1 = _reduced_lat(phi1, f)
+    beta2 = _reduced_lat(phi2, f)
+    sina0, cosa0_sq, sig1, sigd, degen, resid = _solve_edges(beta1, beta2, L, f)
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2) if e2 > 0 else 0.0
+    nodes = sig1[:, None] + sigd[:, None] * _FRAC[None, :]
+    w = np.sqrt(1.0 + (ep2 * cosa0_sq)[:, None] * np.sin(nodes) ** 2)
+    s12 = a * (1.0 - f) * sigd * (w * _FRAC_W[None, :]).sum(axis=1)
+    # forward azimuth: sin a1 = sin a0 / cos b1, cos a1 = cos a0
+    # cos sig1 / cos b1 (the common cos b1 > 0 cancels in atan2)
+    az1 = np.arctan2(sina0, np.sqrt(cosa0_sq) * np.cos(sig1))
+    s12 = np.where(degen, 0.0, s12)
+    az1 = np.where(degen, 0.0, az1)
+    # near-antipodal pairs: exact shooting fallback (rare, scalar)
+    for i in np.nonzero(~degen & (resid > 1e-9))[0]:
+        s_i, az_i = _inverse_shoot(
+            float(phi1[i]), float(phi2[i]), float(L[i]), a, f
+        )
+        s12[i] = s_i
+        az1[i] = az_i
+    return s12, az1
+
+
+def _inverse_shoot(phi1: float, phi2: float, L: float, a: float, f: float):
+    """Shortest-geodesic (distance, departure azimuth) by ODE shooting
+    — the same bracket/bisect/secant machinery as _edge_area_shoot."""
+    sgn = 1.0 if L >= 0 else -1.0
+    n_coarse, n_fine = 512, 4096
+    grid = sgn * np.linspace(1e-6, math.pi - 1e-6, 97)
+    gphi, _gs = _shoot_crossing(phi1, 0.0, grid, L, a, f, n_coarse, refine=False)
+    g = gphi - phi2
+    roots = []
+    for i in range(len(grid) - 1):
+        if np.isnan(g[i]) or np.isnan(g[i + 1]) or g[i] * g[i + 1] > 0:
+            continue
+        lo, hi, glo = grid[i], grid[i + 1], g[i]
+        for _ in range(20):
+            mid = 0.5 * (lo + hi)
+            mp, _ms = _shoot_crossing(
+                phi1, 0.0, np.array([mid]), L, a, f, n_coarse, refine=False
+            )
+            gm = float(mp[0]) - phi2
+            if math.isnan(gm):
+                break
+            if glo * gm <= 0:
+                hi = mid
+            else:
+                lo, glo = mid, gm
+        alpha = 0.5 * (lo + hi)
+
+        def g_fine(al):
+            p, sc = _shoot_crossing(
+                phi1, 0.0, np.array([al]), L, a, f, n_fine
+            )
+            return float(p[0]) - phi2, float(sc[0])
+
+        g0, sc = g_fine(alpha)
+        da = 1e-8
+        for _ in range(4):
+            if abs(g0) < 1e-12 or math.isnan(g0):
+                break
+            g1, _s = g_fine(alpha + da)
+            deriv = (g1 - g0) / da
+            if deriv == 0 or math.isnan(deriv):
+                break
+            alpha -= g0 / deriv
+            g0, sc = g_fine(alpha)
+        if not math.isnan(sc):
+            roots.append((sc, alpha))
+    if not roots:
+        raise ValueError(
+            "geodesic inverse failed: no shooting bracket for "
+            "near-antipodal pair"
+        )
+    s_cross, alpha1 = min(roots)
+    return s_cross, alpha1
 
 
 # -- exact ODE ground truth (tests only) ----------------------------------

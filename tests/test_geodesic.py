@@ -260,3 +260,68 @@ def test_near_antipodal_edge_shooting_fallback():
     )
     split = ring_area_ellipsoidal(t1) + ring_area_ellipsoidal(t2)
     assert whole == pytest.approx(split, rel=1e-9)
+
+
+def test_geodesic_inverse_equator_closed_form():
+    from pygeoops_spark.geom.geodesic import geodesic_inverse
+
+    s, az = geodesic_inverse([0.0], [0.0], [90.0], [0.0])
+    assert s[0] == pytest.approx(WGS84_A * math.pi / 2, rel=1e-14)
+    assert az[0] == pytest.approx(math.pi / 2, abs=1e-12)  # due east
+
+
+def test_geodesic_inverse_vs_ode_landing():
+    """The returned (distance, azimuth) must carry the exact geodesic
+    ODE from point 1 onto point 2 — sub-micrometre landing at 20k RK4
+    steps; also direction symmetry."""
+    from pygeoops_spark.geom.geodesic import geodesic_inverse
+
+    rng = np.random.default_rng(5)
+    for _ in range(4):
+        lo1, la1 = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        lo2 = lo1 + rng.uniform(-40, 40)
+        la2 = float(np.clip(la1 + rng.uniform(-30, 30), -89, 89))
+        s12, az1 = geodesic_inverse([lo1], [la1], [lo2], [la2])
+        path = geodesic_ode_path(
+            math.radians(la1), math.radians(lo1), float(az1[0]), float(s12[0]), 20000
+        )
+        land = (
+            math.hypot(
+                path[-1, 0] - math.radians(la2),
+                (path[-1, 1] - math.radians(lo2) + math.pi) % (2 * math.pi)
+                - math.pi,
+            )
+            * WGS84_A
+        )
+        assert land < 1e-4  # metres
+        s21, _ = geodesic_inverse([lo2], [la2], [lo1], [la1])
+        assert float(s21[0]) == pytest.approx(float(s12[0]), abs=1e-6)
+
+
+def test_geodesic_inverse_meridian_arc():
+    """Meridian arc 0 -> 50N: compare against direct numeric
+    integration of the meridional radius M(phi)."""
+    from pygeoops_spark.geom.geodesic import geodesic_inverse
+
+    s, az = geodesic_inverse([10.0], [0.0], [10.0], [50.0])
+    e2 = WGS84_F * (2 - WGS84_F)
+    phi = np.linspace(0, math.radians(50), 200001)
+    M = WGS84_A * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+    exact = float(np.trapz(M, phi))
+    assert s[0] == pytest.approx(exact, rel=1e-10)
+    assert az[0] == pytest.approx(0.0, abs=1e-12)  # due north
+
+
+def test_geodesic_inverse_near_antipodal_fallback():
+    from pygeoops_spark.geom.geodesic import geodesic_inverse
+
+    s, az = geodesic_inverse([0.0], [0.3], [179.9], [-0.2])
+    # matches the shooting-validated crossing length of the area test
+    assert s[0] == pytest.approx(19992082.1, abs=200.0)
+
+
+def test_geodesic_inverse_coincident():
+    from pygeoops_spark.geom.geodesic import geodesic_inverse
+
+    s, az = geodesic_inverse([5.0], [5.0], [5.0], [5.0])
+    assert s[0] == 0.0 and az[0] == 0.0
