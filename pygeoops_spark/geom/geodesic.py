@@ -160,7 +160,7 @@ def _adaptive_simpson(fun, lo, hi, tol, depth=30):
     return rec(lo, hi, f0, f1, f2, simp(lo, hi, f0, f1, f2), depth)
 
 
-def _solve_edges(beta1, beta2, L, f, polar_scalar=True):
+def _solve_edges(beta1, beta2, L, f):
     """Vectorized inverse solve on the auxiliary sphere.
 
     Returns (sina0, cosa0_sq, sig1, sigd, degenerate_mask, residual).
@@ -253,8 +253,9 @@ def _rk4_geodesic_vec(phi, lam, alpha, h, a, f):
     )
 
 
-def _shoot_crossing(phi1, lam1, alphas, L, a, f, n_steps, refine=True):
-    """Integrate the geodesic ODE from (phi1, lam1) for each candidate
+def _shoot_crossing(phi1, alphas, L, a, f, n_steps, refine=True):
+    """Integrate the geodesic ODE from latitude phi1 (longitude
+    measured relative to the start) for each candidate
     departure azimuth until the accumulated longitude reaches L
     (lambda is strictly monotone along a non-meridian geodesic by
     Clairaut).  Returns (phi_at_crossing, s_at_crossing) arrays with
@@ -319,7 +320,6 @@ def _shoot_crossing(phi1, lam1, alphas, L, a, f, n_steps, refine=True):
 
 def _edge_area_shoot(
     phi1: float,
-    lam1: float,
     phi2: float,
     L: float,
     a: float,
@@ -341,7 +341,7 @@ def _edge_area_shoot(
     # integrate the chosen root at full resolution
     n_coarse = max(n_steps // 8, 256)
     grid = sgn * np.linspace(1e-6, math.pi - 1e-6, 97)
-    gphi, gs = _shoot_crossing(phi1, lam1, grid, L, a, f, n_coarse, refine=False)
+    gphi, gs = _shoot_crossing(phi1, grid, L, a, f, n_coarse, refine=False)
     g = gphi - phi2
     roots = []
     for i in range(len(grid) - 1):
@@ -353,7 +353,7 @@ def _edge_area_shoot(
         for _ in range(20):
             mid = 0.5 * (lo + hi)
             mphi, ms = _shoot_crossing(
-                phi1, lam1, np.array([mid]), L, a, f, n_coarse, refine=False
+                phi1, np.array([mid]), L, a, f, n_coarse, refine=False
             )
             gm = float(mphi[0]) - phi2
             if math.isnan(gm):
@@ -364,7 +364,7 @@ def _edge_area_shoot(
                 lo, glo = mid, gm
         alpha = 0.5 * (lo + hi)
         _p, s_cross = _shoot_crossing(
-            phi1, lam1, np.array([alpha]), L, a, f, n_steps
+            phi1, np.array([alpha]), L, a, f, n_steps
         )
         if not math.isnan(float(s_cross[0])):
             roots.append((float(s_cross[0]), float(alpha)))
@@ -380,7 +380,7 @@ def _edge_area_shoot(
     # the area error is landing-offset x edge-length; secant brings
     # the landing to ~1e-12 rad in 2-3 steps
     def _g_fine(al):
-        p, sc = _shoot_crossing(phi1, lam1, np.array([al]), L, a, f, n_steps)
+        p, sc = _shoot_crossing(phi1, np.array([al]), L, a, f, n_steps)
         return float(p[0]) - phi2, float(sc[0])
 
     g0, s_cross = _g_fine(alpha1)
@@ -522,7 +522,7 @@ def ring_area_ellipsoidal(
         lat_l, latn_l = lat[live], lat_n[live]
         for i in np.nonzero(shoot)[0]:
             s_edges[i] = _edge_area_shoot(
-                float(lat_l[i]), 0.0, float(latn_l[i]), float(L[i]), a, f
+                float(lat_l[i]), float(latn_l[i]), float(L[i]), a, f
             )
         oint += float(s_edges.sum())
 
@@ -602,7 +602,7 @@ def _inverse_shoot(phi1: float, phi2: float, L: float, a: float, f: float):
     sgn = 1.0 if L >= 0 else -1.0
     n_coarse, n_fine = 512, 4096
     grid = sgn * np.linspace(1e-6, math.pi - 1e-6, 97)
-    gphi, _gs = _shoot_crossing(phi1, 0.0, grid, L, a, f, n_coarse, refine=False)
+    gphi, _gs = _shoot_crossing(phi1, grid, L, a, f, n_coarse, refine=False)
     g = gphi - phi2
     roots = []
     for i in range(len(grid) - 1):
@@ -612,7 +612,7 @@ def _inverse_shoot(phi1: float, phi2: float, L: float, a: float, f: float):
         for _ in range(20):
             mid = 0.5 * (lo + hi)
             mp, _ms = _shoot_crossing(
-                phi1, 0.0, np.array([mid]), L, a, f, n_coarse, refine=False
+                phi1, np.array([mid]), L, a, f, n_coarse, refine=False
             )
             gm = float(mp[0]) - phi2
             if math.isnan(gm):
@@ -624,9 +624,7 @@ def _inverse_shoot(phi1: float, phi2: float, L: float, a: float, f: float):
         alpha = 0.5 * (lo + hi)
 
         def g_fine(al):
-            p, sc = _shoot_crossing(
-                phi1, 0.0, np.array([al]), L, a, f, n_fine
-            )
+            p, sc = _shoot_crossing(phi1, np.array([al]), L, a, f, n_fine)
             return float(p[0]) - phi2, float(sc[0])
 
         g0, sc = g_fine(alpha)
