@@ -325,3 +325,51 @@ def test_geodesic_inverse_coincident():
 
     s, az = geodesic_inverse([5.0], [5.0], [5.0], [5.0])
     assert s[0] == 0.0 and az[0] == 0.0
+
+
+def test_geodesic_distance_col_composes_with_knn(spark):
+    """Engine-surface composition: cell-index kNN candidates re-ranked
+    by TRUE geodesic distance (operators/geodesic.py) must agree with
+    a brute-force geodesic ranking — the geographic analog of the
+    planar kNN exactness tests."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pygeoops_spark.geom.geodesic import geodesic_inverse
+    from pygeoops_spark.operators.geodesic import geodesic_distance_col
+
+    rng = np.random.default_rng(9)
+    t_lon = rng.uniform(10, 12, 40).round(4)
+    t_lat = rng.uniform(45, 47, 40).round(4)
+    targets = spark.createDataFrame(
+        pd.DataFrame({"tid": range(40), "lon": t_lon, "lat": t_lat})
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({"pid": [0, 1], "plon": [11.0, 10.2], "plat": [46.0, 45.3]})
+    )
+    ranked = (
+        probes.crossJoin(targets)
+        .withColumn("gd", geodesic_distance_col("plon", "plat", "lon", "lat"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("pid")
+                .orderBy(F.asc("gd"), F.asc("tid"))
+            ),
+        )
+        .where(F.col("rk") <= 3)
+        .select("pid", "tid", "gd", "rk")
+        .collect()
+    )
+    got = {(r["pid"], r["rk"]): (r["tid"], r["gd"]) for r in ranked}
+    # driver-side brute force with the same kernel API (vectorized call)
+    for pid, (plon, plat) in enumerate([(11.0, 46.0), (10.2, 45.3)]):
+        d, _az = geodesic_inverse(
+            np.full(40, plon), np.full(40, plat), t_lon, t_lat
+        )
+        order = sorted(range(40), key=lambda i: (d[i], i))
+        for rk, i in enumerate(order[:3], start=1):
+            tid, gd = got[(pid, rk)]
+            assert tid == i
+            assert gd == pytest.approx(d[i], rel=1e-12)
