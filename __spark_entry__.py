@@ -932,6 +932,37 @@ def _q_geodesic_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geodesic_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct geodesic on eastward equatorial paths — exact closed
+    form: heading due east from (lon0, 0) for a * radians(dl) metres
+    lands at (lon0 + dl, 0) exactly (the equator is a geodesic).
+    lat2 is rounded then +0.0 so a -0.0 from ~1e-16 rad residue cannot
+    break str()-level hash parity.  General azimuths are pinned by the
+    direct-inverse round-trip test in tests/test_geodesic.py."""
+    import math as _math
+
+    import pandas as pdl
+
+    from pygeoops_spark.operators.geodesic import geodesic_destination_cols
+
+    rows = []
+    for i in range(64):
+        dl = 1.0 + (i * 7) % 120
+        lon0 = float((i * 13) % 180 - 90)
+        rows.append(
+            (i, lon0, 0.0, _math.pi / 2, 6378137.0 * _math.radians(dl))
+        )
+    df = spark.createDataFrame(
+        pdl.DataFrame(rows, columns=["path_id", "lon1", "lat1", "az", "dist"])
+    )
+    dest = geodesic_destination_cols("lon1", "lat1", "az", "dist")
+    return df.select(
+        "path_id",
+        (F.round(dest["lon2"], 9) + F.lit(0.0)).alias("lon2"),
+        (F.round(dest["lat2"], 9) + F.lit(0.0)).alias("lat2"),
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidates verified with exact jaccard at >=0.5.
     Oracle: exact jaccard pairs at the same threshold — valid because
@@ -1145,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "sessionize_stream": _q_sessionize_stream,
         "geodesic_distance": _q_geodesic_distance,
+        "geodesic_destination": _q_geodesic_destination,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "dedup_embedding": _q_dedup_embedding,
@@ -1587,6 +1619,23 @@ def oracle_sql() -> dict[str, str]:
                          * radians(1 + (i * 7) % 120)
                          / CAST(1e7 AS DOUBLE), 9) AS dist_e7
             FROM range(64) t(i)
+        """,
+        "geodesic_destination": """
+            -- due-east equatorial path of a*radians(dl) metres lands
+            -- at lon0+dl on the equator exactly; wrap to (-180, 180]
+            -- like the engine's remainder arithmetic
+            WITH p AS (
+                SELECT i,
+                       CAST((i * 13) % 180 - 90 AS DOUBLE)
+                       + CAST(1 + (i * 7) % 120 AS DOUBLE) AS x
+                FROM range(64) t(i)
+            )
+            SELECT i AS path_id,
+                   round((x + 180.0)
+                         - 360.0 * floor((x + 180.0) / 360.0), 9)
+                   - 180.0 + 0.0 AS lon2,
+                   CAST(0.0 AS DOUBLE) AS lat2
+            FROM p
         """,
         "sessionize_stream": """
             -- SQL gap sessionization minus each user's final (open)

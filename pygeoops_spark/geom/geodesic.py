@@ -596,6 +596,82 @@ def geodesic_inverse(
     return s12, az1
 
 
+def geodesic_direct(
+    lon1,
+    lat1,
+    azimuth,
+    distance,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+):
+    """Vectorized direct geodesic: destination (lon2, lat2) in degrees
+    from per-row start points (degrees), forward azimuths (radians,
+    clockwise from north) and distances (metres).
+
+    Clairaut gives sin(a0) = sin(az) cos(beta1) and the start arc
+    sigma1; the end arc sigma2 comes from Newton-inverting the exact
+    length integral b * int sqrt(1 + k^2 sin^2 sigma) dsigma = s
+    (Gauss-Legendre per iteration), and the longitude from the
+    unwrapped spherical omega plus the exact defect integral — the
+    same pieces as the inverse solve, so direct(inverse(p1, p2)) is an
+    identity to machine precision.  Supported for distances up to
+    ~half the circumference (sigma span < pi)."""
+    lon1 = np.atleast_1d(np.asarray(lon1, dtype=float))
+    lat1 = np.atleast_1d(np.asarray(lat1, dtype=float))
+    az = np.atleast_1d(np.asarray(azimuth, dtype=float))
+    s12 = np.atleast_1d(np.asarray(distance, dtype=float))
+    phi1 = np.radians(lat1)
+    beta1 = _reduced_lat(phi1, f)
+    sinb1, cosb1 = np.sin(beta1), np.cos(beta1)
+    sina0 = np.sin(az) * cosb1
+    cosa0_sq = np.clip(1.0 - sina0 * sina0, 0.0, 1.0)
+    sig1 = np.arctan2(sinb1, cosb1 * np.cos(az))
+    e2 = f * (2.0 - f)
+    ep2 = e2 / (1.0 - e2) if e2 > 0 else 0.0
+    k2 = ep2 * cosa0_sq
+    b = a * (1.0 - f)
+
+    def arc_len(sigd):
+        nodes = sig1[:, None] + sigd[:, None] * _FRAC[None, :]
+        w = np.sqrt(1.0 + k2[:, None] * np.sin(nodes) ** 2)
+        return b * sigd * (w * _FRAC_W[None, :]).sum(axis=1)
+
+    # Newton on the sigma span (integrand bounded in [1, 1/(1-f)], so
+    # the initial guess is within ~f and 4 iterations reach 1e-15)
+    sigd = s12 / b
+    for _ in range(6):
+        fval = arc_len(sigd) - s12
+        fprime = b * np.sqrt(1.0 + k2 * np.sin(sig1 + sigd) ** 2)
+        step = fval / fprime
+        sigd = sigd - step
+        if np.max(np.abs(step)) < 1e-15:
+            break
+    sig2 = sig1 + sigd
+
+    sinb2 = np.sqrt(cosa0_sq) * np.sin(sig2)
+    cosb2 = np.sqrt(np.clip(1.0 - sinb2 * sinb2, 0.0, 1.0))
+    lat2 = np.degrees(np.arctan2(sinb2, (1.0 - f) * cosb2))
+
+    # unwrapped spherical longitude: omega = atan2(sin a0 sin sigma,
+    # cos sigma) is monotone with the sign of sin(a0) along the path
+    w1 = np.arctan2(sina0 * np.sin(sig1), np.cos(sig1))
+    w2 = np.arctan2(sina0 * np.sin(sig2), np.cos(sig2))
+    raw = w2 - w1
+    two_pi = 2.0 * math.pi
+    raw = np.where((sina0 > 0) & (raw < 0), raw + two_pi, raw)
+    raw = np.where((sina0 < 0) & (raw > 0), raw - two_pi, raw)
+    nodes = sig1[:, None] + sigd[:, None] * _FRAC_DEF[None, :]
+    g = _lambda_defect_integrand(nodes, sina0[:, None], cosa0_sq[:, None], f)
+    defect = sigd * (g * _FRAC_DEF_W[None, :]).sum(axis=1)
+    dlam = raw + sina0 * defect
+    lon2 = np.remainder(lon1 + np.degrees(dlam) + 180.0, 360.0) - 180.0
+    # zero-distance rows keep the start point exactly
+    zero = s12 == 0.0
+    lon2 = np.where(zero, lon1, lon2)
+    lat2 = np.where(zero, lat1, lat2)
+    return lon2, lat2
+
+
 def _inverse_shoot(phi1: float, phi2: float, L: float, a: float, f: float):
     """Shortest-geodesic (distance, departure azimuth) by ODE shooting
     — the same bracket/bisect/secant machinery as _edge_area_shoot."""

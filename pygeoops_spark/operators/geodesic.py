@@ -66,3 +66,26 @@ def geodesic_azimuth_col(lon1, lat1, lon2, lat2) -> Column:
         F.col(lon2) if isinstance(lon2, str) else lon2,
         F.col(lat2) if isinstance(lat2, str) else lat2,
     )
+
+
+def geodesic_destination_cols(lon1, lat1, azimuth_rad, distance_m):
+    """(lon2, lat2) destination columns for the direct geodesic problem
+    (start degrees, azimuth radians clockwise from north, metres)."""
+
+    @F.pandas_udf("struct<lon2:double,lat2:double>")
+    def _dest(
+        a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series
+    ) -> pd.DataFrame:
+        from pygeoops_spark.geom.geodesic import geodesic_direct
+
+        lon2, lat2 = geodesic_direct(
+            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy()
+        )
+        return pd.DataFrame({"lon2": lon2, "lat2": lat2})
+
+    return _dest(
+        F.col(lon1) if isinstance(lon1, str) else lon1,
+        F.col(lat1) if isinstance(lat1, str) else lat1,
+        F.col(azimuth_rad) if isinstance(azimuth_rad, str) else azimuth_rad,
+        F.col(distance_m) if isinstance(distance_m, str) else distance_m,
+    )

@@ -373,3 +373,38 @@ def test_geodesic_distance_col_composes_with_knn(spark):
             tid, gd = got[(pid, rk)]
             assert tid == i
             assert gd == pytest.approx(d[i], rel=1e-12)
+
+
+def test_geodesic_direct_equator_closed_form():
+    from pygeoops_spark.geom.geodesic import geodesic_direct
+
+    lon2, lat2 = geodesic_direct(
+        [10.0], [0.0], [math.pi / 2], [WGS84_A * math.radians(30)]
+    )
+    assert lon2[0] == pytest.approx(40.0, abs=1e-12)
+    assert lat2[0] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_geodesic_direct_inverse_roundtrip():
+    """direct(inverse(p1, p2)) must land back on p2 — both solvers
+    share the exact integrals, so the identity holds to ~1e-7 m."""
+    from pygeoops_spark.geom.geodesic import geodesic_direct, geodesic_inverse
+
+    rng = np.random.default_rng(12)
+    for _ in range(25):
+        lo1, la1 = rng.uniform(-170, 170), rng.uniform(-85, 85)
+        lo2 = lo1 + rng.uniform(-60, 60)
+        la2 = float(np.clip(la1 + rng.uniform(-50, 50), -89, 89))
+        s, az = geodesic_inverse([lo1], [la1], [lo2], [la2])
+        glon, glat = geodesic_direct([lo1], [la1], [float(az[0])], [float(s[0])])
+        err = (
+            math.hypot((glon[0] - lo2 + 180) % 360 - 180, glat[0] - la2) * 111000
+        )
+        assert err < 1e-5  # metres
+
+
+def test_geodesic_direct_zero_distance():
+    from pygeoops_spark.geom.geodesic import geodesic_direct
+
+    lon2, lat2 = geodesic_direct([7.5], [-33.25], [1.0], [0.0])
+    assert lon2[0] == 7.5 and lat2[0] == -33.25
