@@ -53,11 +53,18 @@ _EXPORTS = {
     "wkt_loads": "pygeoops_spark.geom.wkb",
     "polygon_union": "pygeoops_spark.geom.overlay",
     "dissolve_partition": "pygeoops_spark.geom.overlay",
+    "ring_area_ellipsoidal": "pygeoops_spark.geom.geodesic",
+    "polygon_area_ellipsoidal": "pygeoops_spark.geom.geodesic",
+    "geodesic_inverse": "pygeoops_spark.geom.geodesic",
+    "geodesic_direct": "pygeoops_spark.geom.geodesic",
     # Spark Column / DataFrame operators
     "centerline_col": "pygeoops_spark.operators.centerline",
     "buffer_by_m_col": "pygeoops_spark.operators.centerline",
     "simplify_col": "pygeoops_spark.operators.simplify",
     "simplify_topo": "pygeoops_spark.operators.simplify_topo",
+    "geodesic_distance_col": "pygeoops_spark.operators.geodesic",
+    "geodesic_azimuth_col": "pygeoops_spark.operators.geodesic",
+    "geodesic_destination_cols": "pygeoops_spark.operators.geodesic",
     "view_angles_col": "pygeoops_spark.operators.view_angles",
     "view_angles_pairs": "pygeoops_spark.operators.view_angles",
     "difference_all_col": "pygeoops_spark.operators.difference",
