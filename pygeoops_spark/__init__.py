@@ -61,6 +61,7 @@ _EXPORTS = {
     "centerline_col": "pygeoops_spark.operators.centerline",
     "buffer_by_m_col": "pygeoops_spark.operators.centerline",
     "simplify_col": "pygeoops_spark.operators.simplify",
+    "simplify_df": "pygeoops_spark.operators.simplify",
     "simplify_topo": "pygeoops_spark.operators.simplify_topo",
     "geodesic_distance_col": "pygeoops_spark.operators.geodesic",
     "geodesic_azimuth_col": "pygeoops_spark.operators.geodesic",

@@ -161,7 +161,8 @@ def simplify(
     if preserve_common_boundaries:
         raise NotImplementedError(
             "single-geometry API cannot preserve common boundaries; use "
-            "operators.simplify_topo over a DataFrame of features"
+            "operators.simplify.simplify(df, ..., "
+            "preserve_common_boundaries=True) over a DataFrame of features"
         )
     return simplify_geometry(
         geom, tolerance, algorithm, lookahead, preserve_topology, keep_points_on

@@ -1,4 +1,10 @@
-"""Validity repair (make_valid) for polygons.
+"""Validity repair (make_valid) for any geometry.
+
+Polygonal inputs get the full planar-arrangement repair below;
+linework inputs follow GEOS MakeValid's rules (valid unless degenerate
+— a zero-length line collapses to a Point under keep_collapsed, see
+_make_valid_line); points are always valid; GeometryCollections
+recurse per part.
 
 A non-simple shell ring is resolved by the NONZERO-WINDING rule over
 its full planar arrangement (_nonzero_region): node the ring against
@@ -50,6 +56,7 @@ from pygeoops_spark.geom.wkb import (
     Geometry,
     GEOMETRYCOLLECTION,
     LINESTRING,
+    MULTILINESTRING,
     MULTIPOLYGON,
     POINT,
     POLYGON,
@@ -170,7 +177,57 @@ def make_valid(
         if all(p.type_id == POLYGON for p in parts):
             return multi(MULTIPOLYGON, parts)
         return multi(GEOMETRYCOLLECTION, parts)
+    if t == LINESTRING:
+        return _make_valid_line(geom, keep_collapsed)
+    if t == MULTILINESTRING:
+        parts = []
+        for p in get_parts(geom):
+            r = _make_valid_line(p, keep_collapsed)
+            if r is not None:
+                parts.append(r)
+        return _reassemble(parts, MULTILINESTRING, LINESTRING)
+    if t == GEOMETRYCOLLECTION:
+        parts = []
+        for p in get_parts(geom):
+            r = make_valid(p, keep_collapsed)
+            if r is not None:
+                parts.append(r)
+        if not parts:
+            return None
+        return multi(GEOMETRYCOLLECTION, parts, geom.dims)
+    # POINT / MULTIPOINT: always valid (GEOS MakeValid is the identity)
     return geom
+
+
+def _reassemble(parts: list, multi_type: int, part_type: int):
+    """Post-repair container rule (mirrors GEOS MakeValid output
+    shapes, pinned by the reference test
+    tests/test_general.py:485-505: MultiLineString with one collapsed
+    part -> GeometryCollection(LineString, Point) when keeping
+    collapses, plain LineString when dropping them)."""
+    if not parts:
+        return None
+    if len(parts) == 1:
+        return parts[0]
+    if all(p.type_id == part_type for p in parts):
+        return multi(multi_type, parts)
+    return multi(GEOMETRYCOLLECTION, parts)
+
+
+def _make_valid_line(line: Geometry, keep_collapsed: bool = True) -> Geometry | None:
+    """Linework validity: a LineString is valid iff it has >= 2 distinct
+    vertices — self-intersection is NON-simplicity, not invalidity, so
+    (matching GEOS MakeValid via the reference's delegation,
+    /root/reference/pygeoops/_general.py:470-479) a self-crossing line
+    is returned unchanged.  A zero-length line collapses to its Point
+    when keep_collapsed else is dropped."""
+    arr = np.asarray(line.data, dtype=float)
+    if arr.ndim != 2 or len(arr) == 0:
+        return None
+    uniq = np.unique(arr[:, :2], axis=0)
+    if len(uniq) >= 2:
+        return line
+    return Geometry(POINT, arr[0].tolist()) if keep_collapsed else None
 
 
 def _loop_interior_point(loop: np.ndarray) -> np.ndarray:

@@ -47,7 +47,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pygeoops_spark.geom.simplify import simplify_coords_idx
+from pygeoops_spark.geom.simplify_geom import _simplify_ring_idx
 from pygeoops_spark.geom.wkb import (
     GEOMETRYCOLLECTION,
     Geometry,
@@ -134,8 +134,14 @@ def simplify_topo(
     algorithm: str = "rdp",
     lookahead: int = 8,
     cell_level: int = 6,
+    keep_points_on_wkb: bytes | None = None,
 ) -> DataFrame:
-    """Returns (id_col, simplified_wkb). Features must be (multi)polygons."""
+    """Returns (id_col, simplified_wkb). Features must be (multi)polygons.
+
+    ``keep_points_on_wkb``: optional broadcast WKB geometry whose points
+    are never removed (reference simplify_topo's keep_points_on,
+    _simplify_topo.py:23-47) — merged into each arc's keep set on the
+    canonical orientation, so shared-arc consistency is preserved."""
     from pygeoops_spark.join.cells import cell_id, cover_cells_bbox
 
     segs = _explode_segments(df, id_col, wkb_col).cache()
@@ -252,6 +258,7 @@ def simplify_topo(
     )
 
     def simplify_feature(pdf: pd.DataFrame) -> pd.DataFrame:
+        kpo = wkb_loads(keep_points_on_wkb) if keep_points_on_wkb else None
         fid = int(pdf["fid"].iloc[0])
         parts: list[Geometry] = []
         for _part, pgrp in pdf.groupby("part"):
@@ -303,7 +310,9 @@ def simplify_topo(
                     rev = fwd[::-1]
                     flip = not (fwd <= rev)
                     canon = carr[::-1] if flip else carr
-                    keep = simplify_coords_idx(canon, tolerance, algorithm, lookahead)
+                    keep = _simplify_ring_idx(
+                        canon, tolerance, algorithm, lookahead, kpo
+                    )
                     simplified = canon[keep]
                     if flip:
                         simplified = simplified[::-1]

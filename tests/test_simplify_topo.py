@@ -177,3 +177,60 @@ def test_simplify_topo_island_filling_hole_uniform_signature(spark):
     )
     # the near-collinear vertices were actually simplified away
     assert len(island_coords) < len(hole_pts)
+
+
+def test_simplify_dataframe_dispatch_bridge(spark):
+    """Reference one-call dispatch parity (_simplify.py:92-106):
+    simplify(df, ..., preserve_common_boundaries=True) routes to the
+    distributed simplify_topo; False applies the per-geometry kernel.
+    Same two-polygon fixture as the shared-boundary test: the topo path
+    keeps the shared edge consistent (both areas 100), the plain path
+    simplifies each feature independently."""
+    from pygeoops_spark.operators.simplify import simplify
+
+    df = spark.createDataFrame(
+        [(i, wkb_dumps(mk_poly(p))) for i, p in enumerate([POLY1, POLY2])],
+        ["fid", "wkb"],
+    )
+    topo = simplify(df, "fid", "wkb", 1, preserve_common_boundaries=True)
+    assert topo.columns == ["fid", "simplified_wkb"]
+    rows = {r["fid"]: wkb_loads(bytes(r["simplified_wkb"])) for r in topo.collect()}
+    assert polygon_area(rows[0]) == pytest.approx(100.0)
+    assert polygon_area(rows[1]) == pytest.approx(100.0)
+
+    plain = simplify(df, "fid", "wkb", 1, preserve_common_boundaries=False)
+    assert plain.columns == ["fid", "simplified_wkb"]
+    rows_p = {r["fid"]: wkb_loads(bytes(r["simplified_wkb"])) for r in plain.collect()}
+    # independent simplification: poly2's near-collinear (10,0) kink
+    # is NOT protected by a shared boundary, so the areas differ
+    assert polygon_area(rows_p[0]) == pytest.approx(100.0)
+    assert polygon_area(rows_p[1]) == pytest.approx(105.0)
+
+    with pytest.raises(ValueError, match="preserve_topology=False"):
+        simplify(
+            df, "fid", "wkb", 1,
+            preserve_common_boundaries=True, preserve_topology=False,
+        )
+
+
+def test_simplify_topo_keep_points_on(spark):
+    """keep_points_on through the distributed pipeline (reference
+    _simplify_topo.py keep_points_on): a keep geometry pinning poly2's
+    spike vertex (11,0) prevents its removal, while the run without it
+    removes the spike."""
+    from pygeoops_spark.geom import point as mk_point
+    from pygeoops_spark.operators.simplify import simplify
+
+    df = spark.createDataFrame(
+        [(i, wkb_dumps(mk_poly(p))) for i, p in enumerate([POLY1, POLY2])],
+        ["fid", "wkb"],
+    )
+    keep = wkb_dumps(mk_point(11.0, 0.0))
+    out = simplify(
+        df, "fid", "wkb", 1,
+        preserve_common_boundaries=True, keep_points_on_wkb=keep,
+    )
+    rows = {r["fid"]: wkb_loads(bytes(r["simplified_wkb"])) for r in out.collect()}
+    c1 = {tuple(c) for c in np.asarray(rows[1].data[0])}
+    assert (11.0, 0.0) in c1
+    assert polygon_area(rows[0]) == pytest.approx(100.0)

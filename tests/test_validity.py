@@ -291,3 +291,91 @@ def test_make_valid_pentagram_nonzero():
     core = np.vstack([core, core[:1]])
     expected = abs(ring_signed_area(ring)) - abs(ring_signed_area(core))
     assert polygon_area(out) == pytest.approx(expected, rel=1e-6)
+
+
+# -- linework / non-polygon inputs (reference tests/test_general.py:
+# 447-505: GEOS MakeValid semantics via _general.py:419-479) ----------
+
+
+def test_make_valid_linestring_selfcross_unchanged():
+    """Self-intersection is non-SIMPLICITY, not invalidity: GEOS
+    MakeValid returns a self-crossing LineString unchanged."""
+    from pygeoops_spark.geom.wkb import LINESTRING
+
+    line = wkt_loads("LINESTRING (0 0, 10 10, 10 0, 0 10)")
+    out = make_valid(line)
+    assert out.type_id == LINESTRING
+    assert np.array_equal(np.asarray(out.data), np.asarray(line.data))
+
+
+def test_make_valid_degenerate_linestring_collapse():
+    """LINESTRING (1 1, 1 1): keep_collapsed=True -> POINT (1 1);
+    keep_collapsed=False -> dropped (None)."""
+    from pygeoops_spark.geom.wkb import POINT
+
+    line = wkt_loads("LINESTRING (1 1, 1 1)")
+    out = make_valid(line, keep_collapsed=True)
+    assert out.type_id == POINT
+    assert list(out.data[:2]) == [1.0, 1.0]
+    assert make_valid(line, keep_collapsed=False) is None
+
+
+def test_make_valid_multilinestring_mixed_collapse():
+    """Reference fixture LINESTRING_INVALID_2_COLLAPSING_POINT
+    (tests/test_general.py:29-34, used at :485-505): a MultiLineString
+    of a real line + a zero-length line -> GeometryCollection(LineString,
+    Point) when keeping collapses, plain LineString when dropping."""
+    from pygeoops_spark.geom.wkb import GEOMETRYCOLLECTION, LINESTRING, POINT, get_parts
+
+    mls = wkt_loads("MULTILINESTRING ((0 0, 5 0, 10 0), (1 1, 1 1))")
+    out = make_valid(mls, keep_collapsed=True)
+    assert out.type_id == GEOMETRYCOLLECTION
+    types = sorted(p.type_id for p in get_parts(out))
+    assert types == [POINT, LINESTRING]
+
+    out2 = make_valid(mls, keep_collapsed=False)
+    assert out2.type_id == LINESTRING
+    assert len(np.asarray(out2.data)) == 3
+
+
+def test_make_valid_multilinestring_all_valid_unchanged():
+    from pygeoops_spark.geom.wkb import MULTILINESTRING
+
+    mls = wkt_loads("MULTILINESTRING ((0 0, 5 0), (1 1, 2 2, 3 1))")
+    out = make_valid(mls)
+    assert out.type_id == MULTILINESTRING
+    assert len(out.data) == 2
+
+
+def test_make_valid_geometrycollection_recurses():
+    """Collection parts are repaired independently; container kept."""
+    from pygeoops_spark.geom.wkb import (
+        GEOMETRYCOLLECTION,
+        MULTIPOLYGON as MP,
+        POINT,
+        get_parts,
+    )
+
+    gc = wkt_loads(
+        "GEOMETRYCOLLECTION (POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0)), "
+        "LINESTRING (3 3, 3 3), POINT (7 7))"
+    )
+    out = make_valid(gc, keep_collapsed=True)
+    assert out.type_id == GEOMETRYCOLLECTION
+    parts = get_parts(out)
+    assert len(parts) == 3
+    # bowtie polygon repaired into a 2-part MultiPolygon
+    assert parts[0].type_id == MP
+    assert polygon_area(parts[0]) == pytest.approx(50.0)
+    # degenerate line collapsed to its point
+    assert parts[1].type_id == POINT
+    assert parts[2].type_id == POINT
+
+
+def test_make_valid_point_multipoint_passthrough():
+    from pygeoops_spark.geom.wkb import MULTIPOINT, POINT
+
+    pt = wkt_loads("POINT (3 4)")
+    assert make_valid(pt).type_id == POINT
+    mp = wkt_loads("MULTIPOINT ((0 0), (1 1))")
+    assert make_valid(mp).type_id == MULTIPOINT
