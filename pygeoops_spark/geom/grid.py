@@ -110,6 +110,67 @@ def split_tile_bboxes(
     return tiles
 
 
+def split_tile_geometry(geom, ratio: float) -> list:
+    """Children of one arbitrary (multi)polygon tile after the same
+    repeated 2/3-way splits as split_tile_bboxes, but cutting the
+    actual geometry (reference split_tiles on non-rectangular tiles,
+    /root/reference/pygeoops/_grid.py:148-232: cut lines derived from
+    the CURRENT piece's bounds each iteration, pieces split with
+    shapely.ops.split semantics).
+
+    A cut along x=c (or y=c) is realized as two/three rectangle clips
+    (slabs spanning the piece's padded bbox); a concave piece whose
+    Sutherland-Hodgman clip pinches into a self-touching ring is
+    separated into its proper parts by the nonzero-winding make_valid,
+    matching split()'s one-geometry-per-connected-piece output.
+    Children that collapse to zero area are dropped.  Output order:
+    slab order (low to high along the cut axis), then descending area
+    within a slab — deterministic.
+    """
+    from pygeoops_spark.geom.clip import clip_geom_rect
+    from pygeoops_spark.geom.validity import make_valid
+    from pygeoops_spark.geom.wkb import POLYGON, bounds, get_parts
+
+    pieces = [geom]
+    todo = ratio
+    while todo > 1:
+        divisor = 3 if round(todo) == 3 else 2
+        todo /= divisor
+        nxt = []
+        for g in pieces:
+            x0, y0, x1, y1 = bounds(g)
+            w, h = abs(x1 - x0), abs(y1 - y0)
+            if divisor == 3:
+                if w > h:
+                    cuts = [x0, x0 + w / 3, x0 + 2 * w / 3, x1]
+                    slabs = [
+                        (cuts[i], y0 - 1.0, cuts[i + 1], y1 + 1.0) for i in range(3)
+                    ]
+                else:
+                    cuts = [y0, y0 + h / 3, y0 + 2 * h / 3, y1]
+                    slabs = [
+                        (x0 - 1.0, cuts[i], x1 + 1.0, cuts[i + 1]) for i in range(3)
+                    ]
+            elif w > h:
+                xm = x0 + w / 2
+                slabs = [(x0, y0 - 1.0, xm, y1 + 1.0), (xm, y0 - 1.0, x1, y1 + 1.0)]
+            else:
+                ym = y0 + h / 2
+                slabs = [(x0 - 1.0, y0, x1 + 1.0, ym), (x0 - 1.0, ym, x1 + 1.0, y1)]
+            for sx0, sy0, sx1, sy1 in slabs:
+                c = clip_geom_rect(g, sx0, sy0, sx1, sy1)
+                if c is None:
+                    continue
+                repaired = make_valid(c, keep_collapsed=False)
+                if repaired is None:
+                    continue
+                nxt.extend(
+                    p for p in get_parts(repaired) if p.type_id == POLYGON
+                )
+        pieces = nxt
+    return pieces
+
+
 def subdivide_num_tiles(num_coords: int, num_coords_max: int) -> int:
     """Number of squarish tiles used by subdivide (reference
     _general.py:567-602): ceil(n / max)."""

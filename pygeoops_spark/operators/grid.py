@@ -118,11 +118,22 @@ def assign_to_grid(
 _split_children_udf_schema = ArrayType(ArrayType(DoubleType()))
 
 
-def split_tiles(tiles: DataFrame, nb_tiles_wanted: int) -> DataFrame:
+def split_tiles(
+    tiles: DataFrame, nb_tiles_wanted: int, wkb_col: str | None = None
+) -> DataFrame:
     """Split tiles until the count approaches nb_tiles_wanted; attribute
-    columns fan out to children (reference split_tiles semantics).
+    columns fan out to children (reference split_tiles semantics,
+    _grid.py:148-232).
 
-    The per-tile split is a deterministic function of (bbox, global
+    Two paths, same reference loop:
+    * bbox fast path (default): tiles are (xmin, ymin, xmax, ymax)
+      rows; children are bboxes (exact for rectangular tiles).
+    * ``wkb_col``: tiles carry arbitrary (multi)polygon geometry in a
+      WKB column; children are the actual geometry pieces cut by the
+      reference's bounds-derived split lines (geom/grid.py
+      split_tile_geometry — shapely.ops.split semantics).
+
+    The per-tile split is a deterministic function of (tile, global
     ratio); children are produced by a vectorized pandas UDF returning
     an array that is exploded — rows fan out in place, no shuffle.
     The single `count()` action mirrors the reference's len(input) and
@@ -132,6 +143,28 @@ def split_tiles(tiles: DataFrame, nb_tiles_wanted: int) -> DataFrame:
     if nb_tiles >= nb_tiles_wanted:
         return tiles
     ratio = nb_tiles_wanted / nb_tiles
+
+    if wkb_col is not None:
+        from pyspark.sql.types import ArrayType as _AT, BinaryType as _BT
+
+        from pygeoops_spark.geom.grid import split_tile_geometry
+        from pygeoops_spark.geom.wkb import wkb_dumps, wkb_loads
+
+        @F.pandas_udf(_AT(_BT()))
+        def children_wkb(wkbs: pd.Series) -> pd.Series:
+            out = []
+            for b in wkbs:
+                if b is None:
+                    out.append(None)
+                    continue
+                parts = split_tile_geometry(wkb_loads(bytes(b)), ratio)
+                out.append([wkb_dumps(p) for p in parts])
+            return pd.Series(out)
+
+        attrs = [c for c in tiles.columns if c != wkb_col]
+        return tiles.withColumn("_child", F.explode(children_wkb(wkb_col))).select(
+            *attrs, F.col("_child").alias(wkb_col)
+        )
 
     @F.pandas_udf(_split_children_udf_schema)
     def children(

@@ -260,3 +260,56 @@ def test_view_angles_error_contracts():
     assert s != s and e != e
     s, e = va((0.0, 0.0), None)
     assert s != s and e != e
+
+
+def test_split_tile_geometry_lshape_area_conservation():
+    """Arbitrary-polygon split (reference split_tiles on non-rectangular
+    tiles, _grid.py:148-232): an L-shaped tile split 4-ways conserves
+    area and every child is a proper polygon."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.grid import split_tile_geometry
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.wkb import POLYGON
+
+    lshape = polygon([(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10)])
+    children = split_tile_geometry(lshape, 4.0)
+    assert len(children) >= 4
+    assert all(c.type_id == POLYGON for c in children)
+    total = sum(polygon_area(c) for c in children)
+    assert total == pytest.approx(10 * 4 + 4 * 6)
+
+
+def test_split_tile_geometry_concave_pinch_separates_parts():
+    """A U-shaped tile cut through its opening: the two prongs on one
+    side of the cut must come back as SEPARATE polygons (shapely.ops.
+    split's one-geometry-per-connected-piece), not one pinched ring."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.grid import split_tile_geometry
+    from pygeoops_spark.geom.kernels import polygon_area
+
+    # U opens upward: prongs x in [0,2] and [8,10], base y in [0,2]
+    u = polygon(
+        [(0, 0), (10, 0), (10, 10), (8, 10), (8, 2), (2, 2), (2, 10), (0, 10)]
+    )
+    in_area = polygon_area(u)
+    children = split_tile_geometry(u, 2.0)  # one split; w == h -> cut y=5
+    # lower half: connected base+stubs (1 piece); upper half: 2 prongs
+    assert len(children) == 3
+    total = sum(polygon_area(c) for c in children)
+    assert total == pytest.approx(in_area)
+    areas = sorted(polygon_area(c) for c in children)
+    assert areas[0] == pytest.approx(10.0)  # each upper prong 2x5
+    assert areas[1] == pytest.approx(10.0)
+
+
+def test_split_tile_geometry_triangle_counts():
+    """Triangle split in 3 (ratio 3): three slabs along the longer side;
+    pieces conserve area."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.grid import split_tile_geometry
+    from pygeoops_spark.geom.kernels import polygon_area
+
+    tri = polygon([(0, 0), (12, 0), (0, 6)])
+    children = split_tile_geometry(tri, 3.0)
+    assert len(children) == 3
+    assert sum(polygon_area(c) for c in children) == pytest.approx(36.0)

@@ -278,3 +278,31 @@ def test_knn_exact_unpersists_level_caches(spark):
         f"knn_join leaked {after - before} persistent RDDs (expected <= 1 "
         "for the final checkpoint)"
     )
+
+
+def test_split_tiles_wkb_geometry(spark):
+    """split_tiles over a WKB geometry column (reference split_tiles on
+    arbitrary GeoDataFrame tiles): attr fan-out + area conservation on
+    a non-rectangular tile set."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps, wkb_loads
+    from pygeoops_spark.geom.kernels import polygon_area
+
+    lshape = mk_poly([(0, 0), (10, 0), (10, 4), (4, 4), (4, 10), (0, 10)])
+    tri = mk_poly([(20, 0), (32, 0), (20, 6)])
+    df = spark.createDataFrame(
+        [("foo", wkb_dumps(lshape)), ("bar", wkb_dumps(tri))],
+        ["name", "wkb"],
+    )
+    out = split_tiles(df, 8, wkb_col="wkb")
+    rows = out.collect()
+    assert out.columns == ["name", "wkb"]
+    assert len(rows) >= 8
+    by_name = {}
+    for r in rows:
+        by_name.setdefault(r["name"], []).append(wkb_loads(bytes(r["wkb"])))
+    # every input tile fanned out, attrs retained
+    assert set(by_name) == {"foo", "bar"}
+    assert sum(polygon_area(g) for g in by_name["foo"]) == pytest.approx(64.0)
+    assert sum(polygon_area(g) for g in by_name["bar"]) == pytest.approx(36.0)
+    # already enough tiles -> unchanged
+    assert split_tiles(df, 2, wkb_col="wkb").count() == 2
