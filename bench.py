@@ -38,10 +38,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "det_sample",
     "topk_per_group",
-    "token_count",
     "text_quality",
-    "langid",
-    "doc_fingerprint",
+    "text_signals",
+    "geodesic_knn",
     "jaccard_pairs",
     "dedup_components",
     "sessionize",
@@ -54,6 +53,9 @@ BENCH_QUERIES = [
     "revenue_rollup",
     "extract_text",
     "simplify_topo",
+    # streaming path (VERDICT r03 task 8): full events replay through
+    # the stateful applyInPandasWithState sessionizer + memory sink
+    "sessionize_stream",
 ]
 
 
@@ -305,6 +307,15 @@ def main() -> None:
         dt = time.time() - t0
         results[name] = round(dt, 3)
         throughput[name + "_rows_out"] = n
+
+    # streaming throughput: events replayed per second through the
+    # stateful sessionizer (regressions in the streaming path become
+    # visible round-over-round)
+    if "sessionize_stream" in results:
+        n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        throughput["stream_events_per_sec"] = round(
+            n_events / results["sessionize_stream"], 1
+        )
 
     # flagship docs/sec at bench scale
     t0 = time.time()

@@ -87,6 +87,8 @@ _EXPORTS = {
     "pip_join_rects": "pygeoops_spark.join.pip",
     "pip_join_polygons": "pygeoops_spark.join.pip",
     "knn_join": "pygeoops_spark.join.knn",
+    "geodesic_knn_join": "pygeoops_spark.join.geo_knn",
+    "geo_cell_id": "pygeoops_spark.join.geo_knn",
     "bbox_join": "pygeoops_spark.join.bbox",
     # text / dedup / ann pipeline
     "exact_dedup": "pygeoops_spark.text.dedup",

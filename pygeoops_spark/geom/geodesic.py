@@ -615,7 +615,8 @@ def geodesic_direct(
     unwrapped spherical omega plus the exact defect integral — the
     same pieces as the inverse solve, so direct(inverse(p1, p2)) is an
     identity to machine precision.  Supported for distances up to
-    ~half the circumference (sigma span < pi)."""
+    ~half the circumference (sigma span < pi); longer distances raise
+    ValueError instead of silently mis-unwrapping the longitude."""
     lon1 = np.atleast_1d(np.asarray(lon1, dtype=float))
     lat1 = np.atleast_1d(np.asarray(lat1, dtype=float))
     az = np.atleast_1d(np.asarray(azimuth, dtype=float))
@@ -646,6 +647,17 @@ def geodesic_direct(
         sigd = sigd - step
         if np.max(np.abs(step)) < 1e-15:
             break
+    if np.any(sigd >= math.pi):
+        # documented support limit: the single-wrap longitude unwrap
+        # below is only correct for sigma spans < pi (~half the
+        # circumference) — reject loudly instead of returning
+        # silently-unwrapped longitudes (ADVICE r03)
+        n_bad = int(np.count_nonzero(sigd >= math.pi))
+        raise ValueError(
+            f"geodesic_direct: {n_bad} distance(s) exceed ~half the "
+            "ellipsoid circumference (sigma span >= pi), which is "
+            "outside the supported range"
+        )
     sig2 = sig1 + sigd
 
     sinb2 = np.sqrt(cosa0_sq) * np.sin(sig2)

@@ -22,9 +22,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 
-def geodesic_distance_col(lon1, lat1, lon2, lat2) -> Column:
-    """Geodesic (shortest-path) distance in metres on WGS84 between
-    per-row coordinate pairs (degrees)."""
+def geodesic_distance_col(
+    lon1, lat1, lon2, lat2, a: float | None = None, f: float | None = None
+) -> Column:
+    """Geodesic (shortest-path) distance in metres between per-row
+    coordinate pairs (degrees). Defaults to WGS84; pass ``f=0`` for the
+    exact sphere limit (where the kernel must agree with the
+    great-circle closed form — the independent oblique oracle)."""
+    from pygeoops_spark.geom.geodesic import WGS84_A, WGS84_F
+
+    ell_a = WGS84_A if a is None else float(a)
+    ell_f = WGS84_F if f is None else float(f)
 
     @F.pandas_udf(DoubleType())
     def _dist(
@@ -33,7 +41,8 @@ def geodesic_distance_col(lon1, lat1, lon2, lat2) -> Column:
         from pygeoops_spark.geom.geodesic import geodesic_inverse
 
         s12, _az = geodesic_inverse(
-            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy()
+            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy(),
+            a=ell_a, f=ell_f,
         )
         return pd.Series(s12)
 

@@ -26,13 +26,20 @@ MERSENNE_P = (1 << 61) - 1
 
 
 
-def _materialize_and_release(result: DataFrame, caches) -> DataFrame:
+def _materialize_and_release(result: DataFrame, caches, lazy: bool = False) -> DataFrame:
     """Eagerly localCheckpoint the (comparatively small) result frame,
     then unpersist the O(corpus) intermediate caches, so repeated calls
     in a long session do not accumulate cached shingle/signature
     tables.  The checkpoint itself is GC-cleaned when the returned
     DataFrame is dropped (unlike a persist, which would need an
-    explicit unpersist by the caller)."""
+    explicit unpersist by the caller).
+
+    ``lazy=True`` (ADVICE r03): skip the checkpoint and hand the raw
+    lazy plan back with its intermediate persists still registered —
+    for callers that compose the result into a larger plan and manage
+    cache lifecycle themselves."""
+    if lazy:
+        return result
     out = result.localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
@@ -134,6 +141,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    lazy: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join (PPJoin-style, result
     identical to the naive all-pairs join).
@@ -161,6 +169,12 @@ def jaccard_pairs(
 
     Output: id_a < id_b, jaccard (rounded 1e-6; threshold applied to
     the unrounded value, matching the SQL oracle).
+
+    EAGER by default (ADVICE r03): the call runs a full Spark job at
+    call time (localCheckpoint) and truncates lineage — bounded cache
+    lifecycle, but an action, not a transformation, and the result is
+    not recomputable on executor loss.  Pass ``lazy=True`` to get the
+    raw lazy plan and manage the intermediate caches yourself.
     """
     from pyspark import StorageLevel
 
@@ -188,6 +202,7 @@ def jaccard_pairs(
         .withColumn("jaccard", F.round(jac, 6))
         .select("id_a", "id_b", "jaccard"),
         [arr],
+        lazy,
     )
 
 
@@ -243,12 +258,17 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    lazy: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via LSH banding, verified with exact
     Jaccard on the candidates only. The shingle-hash array is computed
     ONCE and cached — signatures are a projection of it (no shuffle)
     and verification reuses it; the only shuffles left are the band
     bucket-join and the two candidate joins.
+    
+
+    Eager by default; see jaccard_pairs — ``lazy=True`` returns the
+    raw plan with caller-managed caches (ADVICE r03).
     """
     rows_per_band = k // bands
     arr = shingle_hash_arrays(df, id_col, text_col, n).cache()
@@ -303,6 +323,7 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", F.round(jac, 6))
         .select("id_a", "id_b", "jaccard"),
         [arr],
+        lazy,
     )
 
 
@@ -357,10 +378,15 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    lazy: bool = False,
 ) -> DataFrame:
     """Pairs within Hamming distance via 16-bit-chunk banding (pigeonhole:
     distance<=3 guarantees a shared chunk; larger distances are found
-    with high probability). Output: id_a, id_b, hamming."""
+    with high probability). Output: id_a, id_b, hamming.
+
+    Eager by default; see jaccard_pairs — ``lazy=True`` returns the
+    raw plan with caller-managed caches (ADVICE r03).
+    """
     sig = simhash_signatures(df, id_col, text_col).cache()
     chunks = sig.select(
         id_col,
@@ -395,6 +421,7 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming"),
         [sig],
+        lazy,
     )
 
 
