@@ -74,6 +74,7 @@ _EXPORTS = {
     "collect_agg": "pygeoops_spark.operators.collection",
     "collection_extract_col": "pygeoops_spark.operators.collection",
     "remove_inner_rings_col": "pygeoops_spark.operators.collection",
+    "make_valid_col": "pygeoops_spark.operators.collection",
     "extend_line_by_distance_col": "pygeoops_spark.operators.collection",
     "extend_line_to_geometry_col": "pygeoops_spark.operators.collection",
     "create_grid": "pygeoops_spark.operators.grid",

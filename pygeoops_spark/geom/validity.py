@@ -80,7 +80,8 @@ def _collapsed_geometry(coords: np.ndarray) -> Geometry | None:
         return None
     uniq = np.unique(arr, axis=0)
     if len(uniq) == 1:
-        return Geometry(POINT, arr[0].tolist())
+        # ndarray payload (wkb_dumps packs point coords via .reshape)
+        return Geometry(POINT, arr[0].copy())
     return Geometry(LINESTRING, arr)
 
 
@@ -227,7 +228,8 @@ def _make_valid_line(line: Geometry, keep_collapsed: bool = True) -> Geometry | 
     uniq = np.unique(arr[:, :2], axis=0)
     if len(uniq) >= 2:
         return line
-    return Geometry(POINT, arr[0].tolist()) if keep_collapsed else None
+    # ndarray payload (wkb_dumps packs point coords via .reshape)
+    return Geometry(POINT, arr[0].copy()) if keep_collapsed else None
 
 
 def _loop_interior_point(loop: np.ndarray) -> np.ndarray:

@@ -165,6 +165,25 @@ def remove_inner_rings_col(wkb_col: Column | str, min_area_to_keep: float) -> Co
     return _scalar_wkb_udf(lambda g: _rings_kernel(g, min_area_to_keep))(wkb_col)
 
 
+def make_valid_col(
+    wkb_col: Column | str,
+    keep_collapsed: bool = True,
+    only_if_invalid: bool = False,
+) -> Column:
+    """Validity repair over a WKB column (reference make_valid,
+    _general.py:419-479, applied per row): nonzero-winding arrangement
+    repair for polygons, GEOS-MakeValid linework rules for lines and
+    collections (geom/validity.py)."""
+    from pygeoops_spark.geom.validity import make_valid as _mv_kernel
+
+    wkb_col = F.col(wkb_col) if isinstance(wkb_col, str) else wkb_col
+    return _scalar_wkb_udf(
+        lambda g: _mv_kernel(
+            g, keep_collapsed=keep_collapsed, only_if_invalid=only_if_invalid
+        )
+    )(wkb_col)
+
+
 def extend_line_by_distance_col(
     wkb_col: Column | str, start_distance: float, end_distance: float
 ) -> Column:

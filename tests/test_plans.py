@@ -132,3 +132,26 @@ def test_tiled_difference_kernel_stage_stays_parallel(spark):
     out = difference_all_tiled_distributed(df, "fid", "wkb", subs, subdivide_coords=4)
     pids = out.select(F.spark_partition_id().alias("pid")).distinct().count()
     assert pids >= 8, f"union stage ran in only {pids} partitions"
+
+
+def test_geo_knn_broadcasts_no_cartesian(spark):
+    """Geographic kNN candidate join: broadcast target cells, no
+    cartesian product, ring generation pure-SQL (no PythonUDF in the
+    sphere-mode plan)."""
+    from pygeoops_spark.join.geo_knn import geodesic_knn_join
+
+    probes = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 3.6 - 180).alias("lon"),
+        (F.col("id") * 1.6 - 80).alias("lat"),
+    )
+    targets = spark.range(20).select(
+        F.col("id").alias("tid"),
+        (F.col("id") * 18.0 - 180).alias("lon"),
+        (F.col("id") * 8.0 - 80).alias("lat"),
+    )
+    out = geodesic_knn_join(probes, targets, "pid", "tid", k=2, level=3, radius=1)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # sphere mode is pure SQL

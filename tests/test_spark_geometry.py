@@ -121,3 +121,37 @@ def test_collection_extract_per_element_types(spark):
     assert g3.geom_type == "GEOMETRYCOLLECTION" and len(g3.data) == 2
     assert g3.data[0].geom_type == "POLYGON"
     assert g3.data[1].geom_type == "MULTIPOLYGON"
+
+
+def test_make_valid_col(spark):
+    """make_valid as a Spark column: bowtie repaired to 2-part
+    MultiPolygon, degenerate line collapsed/dropped per keep_collapsed,
+    valid rows untouched."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps, wkt_loads
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.wkb import MULTIPOLYGON, POINT, POLYGON, wkb_loads
+    from pygeoops_spark.operators.collection import make_valid_col
+
+    bowtie = mk_poly([(0, 0), (10, 10), (10, 0), (0, 10)])
+    box = mk_poly([(0, 0), (5, 0), (5, 5), (0, 5)])
+    degen = wkt_loads("LINESTRING (1 1, 1 1)")
+    df = spark.createDataFrame(
+        [(0, wkb_dumps(bowtie)), (1, wkb_dumps(box)), (2, wkb_dumps(degen))],
+        ["gid", "wkb"],
+    )
+    rows = {
+        r["gid"]: (None if r["mv"] is None else wkb_loads(bytes(r["mv"])))
+        for r in df.select("gid", make_valid_col("wkb").alias("mv")).collect()
+    }
+    assert rows[0].type_id == MULTIPOLYGON
+    assert polygon_area(rows[0]) == pytest.approx(50.0)
+    assert rows[1].type_id == POLYGON
+    assert rows[2].type_id == POINT
+
+    dropped = {
+        r["gid"]: r["mv"]
+        for r in df.select(
+            "gid", make_valid_col("wkb", keep_collapsed=False).alias("mv")
+        ).collect()
+    }
+    assert dropped[2] is None
