@@ -283,6 +283,59 @@ def _q_view_angles_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_view_angles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view_angles + view_angles_pairs in one variant-tagged union
+    (folded to free a driver slot for geo_bbox_join; both halves keep
+    their original reference-pinned shapes)."""
+    a = _q_view_angles(spark, sf_dir).select(
+        F.lit(1).alias("variant"),
+        F.col("zone_id").cast("long").alias("key"),
+        "angle_start",
+        "angle_end",
+    )
+    b = _q_view_angles_pairs(spark, sf_dir).select(
+        F.lit(2).alias("variant"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        "angle_start",
+        "angle_end",
+    )
+    return a.unionByName(b)
+
+
+def _q_geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geographic bbox overlap join (join/geo_knn.py geo_bbox_join):
+    deterministic box sets including date-line-wrapped intervals
+    (lonmin > lonmax); the cell-cover join with array_min shared-cell
+    dedup must reproduce DuckDB's brute-force circular-interval
+    predicate exactly (all box edges are exact binary doubles, so both
+    engines decide every inclusive boundary identically)."""
+    from pygeoops_spark.join.geo_knn import geo_bbox_join
+
+    half = F.lit(1.0) / F.lit(2.0)
+    quarter = F.lit(1.0) / F.lit(4.0)
+
+    def boxes(n, key, c1, c2, c3, c4):
+        i = F.col("id")
+        lonmin = (i * c1 % 360 - 180).cast("double") + half
+        span = (10 + (i * c2) % 100).cast("double")
+        raw = lonmin + span
+        lonmax = F.when(raw > 180.0, raw - F.lit(360.0)).otherwise(raw)
+        latmin = ((i * c3) % 150 - 80).cast("double") + quarter
+        latmax = latmin + (5 + (i * c4) % 12).cast("double")
+        return spark.range(n).select(
+            i.alias(key),
+            lonmin.alias("lonmin"),
+            latmin.alias("latmin"),
+            lonmax.alias("lonmax"),
+            latmax.alias("latmax"),
+        )
+
+    A = boxes(48, "bid", 47, 13, 29, 7)
+    B = boxes(32, "bid", 61, 17, 23, 5)
+    out = geo_bbox_join(A, B, level=3)
+    return out.select("bid", F.col("bid_r").alias("bid_b"))
+
+
 def _ann_recall_check(spark: SparkSession, sf_dir: str, approx_fn, floor_hits: int) -> DataFrame:
     """Bounded-check harness shared by ann_ivf / ann_lsh: per query,
     count approximate hits inside the exact top-5 and assert the recall
@@ -1241,8 +1294,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_poly": _q_pip_join_poly,
         "bbox_join": _q_bbox_join,
         "knn_join": _q_knn_join,
-        "view_angles": _q_view_angles,
-        "view_angles_pairs": _q_view_angles_pairs,
+        "view_angles_all": _q_view_angles_all,
+        "geo_bbox_join": _q_geo_bbox_join,
         "ann_ivf": _q_ann_ivf,
         "simplify_rdp": _q_simplify_rdp,
         "simplify_vw": _q_simplify_vw,
@@ -1399,6 +1452,69 @@ def oracle_sql() -> dict[str, str]:
               ON a.xmin <= b.xmax AND b.xmin <= a.xmax
              AND a.ymin <= b.ymax AND b.ymin <= a.ymax
         """,
+        "view_angles_all": f"""
+            -- view_angles + view_angles_pairs, variant-tagged union
+            SELECT 1 AS variant, CAST(zone_id AS BIGINT) AS key, angle_start, angle_end FROM (
+            WITH {ZONES_CTE.strip()},
+            corners AS (
+              SELECT zone_id, unnest([
+                degrees(atan2(ymin + 50.0, xmin + 50.0)),
+                degrees(atan2(ymin + 50.0, xmax + 50.0)),
+                degrees(atan2(ymax + 50.0, xmax + 50.0)),
+                degrees(atan2(ymax + 50.0, xmin + 50.0))
+              ]) AS ang
+              FROM zones
+            )
+            SELECT zone_id, round(min(ang), 6) AS angle_start, round(max(ang), 6) AS angle_end
+            FROM corners GROUP BY zone_id
+        
+            ) va
+            UNION ALL
+            SELECT 2 AS variant, CAST(o_orderkey AS BIGINT) AS key, angle_start, angle_end FROM (
+            WITH {ORDER_PTS_CTE.strip()},
+            sub AS (SELECT * FROM pts WHERE o_orderkey % 8 = 0),
+            corners AS (
+              SELECT o_orderkey, unnest([
+                degrees(atan2(1100.0 - y, 1100.0 - x)),
+                degrees(atan2(1100.0 - y, 1200.0 - x)),
+                degrees(atan2(1200.0 - y, 1200.0 - x)),
+                degrees(atan2(1200.0 - y, 1100.0 - x))
+              ]) AS ang
+              FROM sub
+            )
+            SELECT o_orderkey, round(min(ang), 6) AS angle_start, round(max(ang), 6) AS angle_end
+            FROM corners GROUP BY o_orderkey
+        
+            ) vp
+        """,
+        "geo_bbox_join": """
+            -- brute-force circular-interval overlap (date-line wrap):
+            -- pmod(x, 360) = ((x % 360) + 360) % 360 on exact doubles
+            WITH A AS (
+              SELECT i AS bid,
+                     CAST((i * 47) % 360 - 180 AS DOUBLE) + CAST(1 AS DOUBLE) / 2 AS lonmin,
+                     CAST(10 + (i * 13) % 100 AS DOUBLE) AS span,
+                     CAST((i * 29) % 150 - 80 AS DOUBLE) + CAST(1 AS DOUBLE) / 4 AS latmin,
+                     CAST(5 + (i * 7) % 12 AS DOUBLE) AS lath
+              FROM range(48) t(i)
+            ),
+            B AS (
+              SELECT j AS bid_b,
+                     CAST((j * 61) % 360 - 180 AS DOUBLE) + CAST(1 AS DOUBLE) / 2 AS lonmin,
+                     CAST(10 + (j * 17) % 100 AS DOUBLE) AS span,
+                     CAST((j * 23) % 150 - 80 AS DOUBLE) + CAST(1 AS DOUBLE) / 4 AS latmin,
+                     CAST(5 + (j * 5) % 12 AS DOUBLE) AS lath
+              FROM range(32) t(j)
+            )
+            SELECT A.bid, B.bid_b
+            FROM A CROSS JOIN B
+            WHERE A.latmin <= B.latmin + B.lath
+              AND B.latmin <= A.latmin + A.lath
+              AND (
+                ((((B.lonmin - A.lonmin) % 360) + 360) % 360) <= A.span
+                OR ((((A.lonmin - B.lonmin) % 360) + 360) % 360) <= B.span
+              )
+        """,
         "knn_join": f"""
             WITH {ZONES_CTE.strip()}, {CUST_PTS_CTE.strip()},
             centers AS (
@@ -1415,35 +1531,6 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT c_custkey, zone_id_nn, CAST(rk AS INT) AS knn_rank FROM r WHERE rk <= 3
-        """,
-        "view_angles": f"""
-            WITH {ZONES_CTE.strip()},
-            corners AS (
-              SELECT zone_id, unnest([
-                degrees(atan2(ymin + 50.0, xmin + 50.0)),
-                degrees(atan2(ymin + 50.0, xmax + 50.0)),
-                degrees(atan2(ymax + 50.0, xmax + 50.0)),
-                degrees(atan2(ymax + 50.0, xmin + 50.0))
-              ]) AS ang
-              FROM zones
-            )
-            SELECT zone_id, round(min(ang), 6) AS angle_start, round(max(ang), 6) AS angle_end
-            FROM corners GROUP BY zone_id
-        """,
-        "view_angles_pairs": f"""
-            WITH {ORDER_PTS_CTE.strip()},
-            sub AS (SELECT * FROM pts WHERE o_orderkey % 8 = 0),
-            corners AS (
-              SELECT o_orderkey, unnest([
-                degrees(atan2(1100.0 - y, 1100.0 - x)),
-                degrees(atan2(1100.0 - y, 1200.0 - x)),
-                degrees(atan2(1200.0 - y, 1200.0 - x)),
-                degrees(atan2(1200.0 - y, 1100.0 - x))
-              ]) AS ang
-              FROM sub
-            )
-            SELECT o_orderkey, round(min(ang), 6) AS angle_start, round(max(ang), 6) AS angle_end
-            FROM corners GROUP BY o_orderkey
         """,
         "simplify_rdp": """
             -- densified rectangle rings (101 coords) simplify to the 4

@@ -33,7 +33,8 @@ BENCH_QUERIES = [
     "knn_join",
     "tile_assign",
     "bbox_join",
-    "view_angles",
+    "view_angles_all",
+    "geo_bbox_join",
     "simplify_rdp",
     "dedup_exact",
     "det_sample",

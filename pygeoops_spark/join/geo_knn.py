@@ -119,6 +119,102 @@ def geo_ring_cells(
     return F.array_distinct(F.flatten(F.transform(F.sequence(iy0, iy1), row_cells)))
 
 
+def geo_cover_cells_bbox(
+    lonmin: Column | str,
+    latmin: Column | str,
+    lonmax: Column | str,
+    latmax: Column | str,
+    level: int,
+) -> Column:
+    """Array of cell ids intersecting a geographic bbox, pure SQL.
+
+    ``lonmin > lonmax`` means the box CROSSES the date line (wraps
+    east past +180); a box spanning >= 360 degrees covers every
+    longitude column.  The cover may slightly over-cover at the +180
+    seam (a superset is fine for candidate generation — the exact
+    predicate decides), but it is the SAME deterministic set for a
+    given box, which is what the min-shared-cell dedup needs."""
+    lonmin = F.col(lonmin) if isinstance(lonmin, str) else lonmin
+    latmin = F.col(latmin) if isinstance(latmin, str) else latmin
+    lonmax = F.col(lonmax) if isinstance(lonmax, str) else lonmax
+    latmax = F.col(latmax) if isinstance(latmax, str) else latmax
+    nlon, nlat = _ncells(level)
+    ix0 = geo_cell_ix(lonmin, level)
+    ix1 = geo_cell_ix(lonmax, level)
+    full = (lonmax - lonmin) >= F.lit(360.0)
+    nx = F.when(full, F.lit(nlon - 1)).otherwise(F.pmod(ix1 - ix0, F.lit(nlon)))
+    iy0 = geo_cell_iy(latmin, level)
+    iy1 = geo_cell_iy(latmax, level)
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), nx),
+            lambda dx: F.transform(
+                F.sequence(iy0, iy1),
+                lambda iy: F.pmod(ix0 + dx, F.lit(nlon)) * F.lit(nlat) + iy,
+            ),
+        )
+    )
+
+
+def _lon_span(lo: Column, hi: Column) -> Column:
+    """Circular longitude span of [lo, hi] in degrees: hi wraps past
+    the date line when hi < lo; >= 360 means the full circle."""
+    return F.when((hi - lo) >= F.lit(360.0), F.lit(360.0)).otherwise(
+        F.pmod(hi - lo, F.lit(360.0))
+    )
+
+
+def geo_bbox_join(
+    left: DataFrame,
+    right: DataFrame,
+    level: int = 3,
+    suffix: str = "_r",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Overlap join of two geographic bbox tables (lonmin/latmin/
+    lonmax/latmax each; lonmin > lonmax = date-line crossing).
+
+    The geographic analog of join/bbox.py: cell-cover equi-join for
+    candidates, exact circular-interval overlap predicate (touching
+    edges count), then pair dedup.  Because two WRAPPED lon intervals
+    can overlap in TWO disjoint arcs, the planar 'overlap-corner cell'
+    trick is ambiguous here — instead each side carries its cover
+    array and the pair is kept only in the smallest shared cell
+    (``array_min(array_intersect(...))``), which is exact for any
+    overlap topology and still purely distributed (no distinct
+    shuffle)."""
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, c + suffix)
+    lc = left.withColumn(
+        "_cells", geo_cover_cells_bbox("lonmin", "latmin", "lonmax", "latmax", level)
+    ).withColumn("_cell", F.explode("_cells"))
+    rc = r.withColumn(
+        "_cells" + suffix,
+        geo_cover_cells_bbox(
+            f"lonmin{suffix}", f"latmin{suffix}", f"lonmax{suffix}", f"latmax{suffix}",
+            level,
+        ),
+    ).withColumn("_cell", F.explode("_cells" + suffix))
+    if broadcast_right:
+        rc = F.broadcast(rc)
+    joined = lc.join(rc, "_cell")
+    lat_ov = (F.col("latmin") <= F.col(f"latmax{suffix}")) & (
+        F.col(f"latmin{suffix}") <= F.col("latmax")
+    )
+    span_l = _lon_span(F.col("lonmin"), F.col("lonmax"))
+    span_r = _lon_span(F.col(f"lonmin{suffix}"), F.col(f"lonmax{suffix}"))
+    off_rl = F.pmod(F.col(f"lonmin{suffix}") - F.col("lonmin"), F.lit(360.0))
+    off_lr = F.pmod(F.col("lonmin") - F.col(f"lonmin{suffix}"), F.lit(360.0))
+    lon_ov = (off_rl <= span_l) | (off_lr <= span_r)
+    dedup = F.col("_cell") == F.array_min(
+        F.array_intersect("_cells", "_cells" + suffix)
+    )
+    return joined.where(lat_ov & lon_ov & dedup).drop(
+        "_cell", "_cells", "_cells" + suffix
+    )
+
+
 def great_circle_distance_sql(
     plon: Column, plat: Column, tlon: Column, tlat: Column, a: float
 ) -> Column:

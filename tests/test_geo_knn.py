@@ -141,3 +141,127 @@ def test_geo_ring_cells_covers_own_cell_and_wraps(spark):
     assert set(rows[0]["ring"]) & set(rows[1]["ring"])
     # polar ring is full-wrap: 32 lon cells x 2 rows
     assert len(rows[2]["ring"]) == 64
+
+
+@pytest.mark.parametrize("seed", [1, 23, 99])
+def test_geo_knn_exact_matches_bruteforce_seeds(spark, seed):
+    """Exactness sweep across independent point clouds (different
+    seeds, mixed k/level/radius): the guarantee_exact recursion must
+    reproduce brute force regardless of where probes land relative to
+    cell edges, poles, and the date line."""
+    probes = _points(spark, 120, seed, "pid")
+    targets = _points(spark, 25, seed + 1000, "tid")
+    k = 2 + seed % 3
+    out = geodesic_knn_join(
+        probes, targets, "pid", "tid", k=k,
+        level=3 + seed % 2, radius=1, guarantee_exact=True,
+    )
+    ref = _brute(spark, probes, targets, "pid", "tid", k)
+    got = {(r["pid"], r["knn_rank"]): r["tid_nn"] for r in out.collect()}
+    exp = {(r["pid"], r["knn_rank"]): r["tid_nn"] for r in ref.collect()}
+    assert got == exp
+
+
+def test_geodesic_azimuth_sphere_limit():
+    """Kernel azimuth at f=0 must equal the spherical initial-bearing
+    closed form atan2(sin dl cos p2, cos p1 sin p2 - sin p1 cos p2
+    cos dl) on oblique pairs — an independent check the equatorial
+    driver oracle cannot provide."""
+    import numpy as np
+
+    from pygeoops_spark.geom.geodesic import geodesic_inverse
+
+    rng = np.random.default_rng(5)
+    lon1 = rng.uniform(-180, 180, 200)
+    lat1 = rng.uniform(-85, 85, 200)
+    lon2 = rng.uniform(-180, 180, 200)
+    lat2 = rng.uniform(-85, 85, 200)
+    _s, az = geodesic_inverse(lon1, lat1, lon2, lat2, f=0.0)
+    p1, p2 = np.radians(lat1), np.radians(lat2)
+    dl = np.radians(
+        np.remainder(lon2 - lon1 + 180.0, 360.0) - 180.0
+    )
+    exp = np.arctan2(
+        np.sin(dl) * np.cos(p2),
+        np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl),
+    )
+    # compare as unit vectors (avoids the +-pi wrap seam)
+    assert np.allclose(np.sin(az), np.sin(exp), atol=1e-9)
+    assert np.allclose(np.cos(az), np.cos(exp), atol=1e-9)
+
+
+# -- geographic bbox cover + join -----------------------------------------
+
+
+def _boxes(spark, rows, suffix_cols=("bid", "lonmin", "latmin", "lonmax", "latmax")):
+    return spark.createDataFrame(rows, list(suffix_cols))
+
+
+def test_geo_bbox_join_matches_bruteforce(spark):
+    """Random non-wrapped + wrapped boxes vs a python brute force of
+    the circular-interval overlap semantics."""
+    rng = np.random.default_rng(42)
+    def mk(n, seed_off):
+        out = []
+        for i in range(n):
+            lo = float(rng.uniform(-180, 180))
+            span = float(rng.uniform(1, 120))
+            hi = lo + span
+            if hi > 180:
+                hi -= 360  # wrapped box
+            la = float(rng.uniform(-85, 75))
+            out.append((i + seed_off, lo, la, hi, la + float(rng.uniform(1, 15))))
+        return out
+    A = mk(40, 0)
+    B = mk(25, 1000)
+
+    def span_of(lo, hi):
+        return (hi - lo) % 360.0
+
+    def lon_ov(a, b):
+        sa, sb = span_of(a[1], a[3]), span_of(b[1], b[3])
+        return ((b[1] - a[1]) % 360.0 <= sa) or ((a[1] - b[1]) % 360.0 <= sb)
+
+    exp = {
+        (a[0], b[0])
+        for a in A
+        for b in B
+        if lon_ov(a, b) and a[2] <= b[4] and b[2] <= a[4]
+    }
+    from pygeoops_spark.join.geo_knn import geo_bbox_join
+
+    out = geo_bbox_join(_boxes(spark, A), _boxes(spark, B), level=3)
+    got = [(r["bid"], r["bid_r"]) for r in out.collect()]
+    assert len(got) == len(set(got)), "pair dedup failed"
+    assert set(got) == exp
+
+
+def test_geo_bbox_join_two_arc_overlap_single_row(spark):
+    """Two wrapped intervals overlapping in TWO disjoint arcs must
+    still produce exactly one pair row (the planar corner trick would
+    be ambiguous here; the array_min dedup is not)."""
+    from pygeoops_spark.join.geo_knn import geo_bbox_join
+
+    A = _boxes(spark, [(0, 170.0, -10.0, -170.0, 10.0)])   # wraps: [170, 190]
+    B = _boxes(spark, [(1, -175.0, -5.0, 175.0, 5.0)])     # [185 .. 535] ~ nearly full
+    out = geo_bbox_join(A, B, level=3).collect()
+    assert len(out) == 1
+    assert (out[0]["bid"], out[0]["bid_r"]) == (0, 1)
+
+
+def test_geo_cover_cells_bbox_wraps(spark):
+    from pygeoops_spark.join.geo_knn import geo_cover_cells_bbox
+
+    df = spark.createDataFrame(
+        [(175.0, 0.0, -175.0, 10.0), (-180.0, -90.0, 180.0, 90.0)],
+        ["lonmin", "latmin", "lonmax", "latmax"],
+    )
+    rows = df.select(
+        geo_cover_cells_bbox("lonmin", "latmin", "lonmax", "latmax", 3).alias("c")
+    ).collect()
+    nlon, nlat = 16, 8
+    # the wrapped strip touches columns on both sides of the seam
+    cols = {c // nlat for c in rows[0]["c"]}
+    assert 15 in cols and 0 in cols
+    # the whole-world box covers every cell exactly once
+    assert sorted(rows[1]["c"]) == list(range(nlon * nlat))
