@@ -203,6 +203,32 @@ def _run_buffer_20k(spark, n_lines: int = 20_000) -> int:
     return n_lines
 
 
+def _run_geo_knn(spark, n_probes: int = 200_000, n_targets: int = 2_000) -> int:
+    """Geographic kNN at throughput scale: n_probes points spread over
+    the globe against n_targets hubs, sphere ranking (pure SQL), one
+    candidate pass at level 5 / radius 2 (no exactness recursion — the
+    production-shaped single-pass plan)."""
+    from pyspark.sql import functions as F
+
+    from pygeoops_spark.join.geo_knn import geodesic_knn_join
+
+    i = F.col("id")
+    probes = spark.range(n_probes).select(
+        i.alias("pid"),
+        (F.pmod(i * 7919, F.lit(360000)).cast("double") / 1000.0 - 180.0).alias("lon"),
+        (F.pmod(i * 104729, F.lit(170000)).cast("double") / 1000.0 - 85.0).alias("lat"),
+    )
+    j = F.col("id")
+    targets = spark.range(n_targets).select(
+        j.alias("tid"),
+        (F.pmod(j * 6007, F.lit(360000)).cast("double") / 1000.0 - 180.0).alias("lon"),
+        (F.pmod(j * 9973, F.lit(170000)).cast("double") / 1000.0 - 85.0).alias("lat"),
+    )
+    out = geodesic_knn_join(probes, targets, "pid", "tid", k=5, level=5, radius=2)
+    out.count()
+    return n_probes
+
+
 def _run_flagship(spark, n_pages: int) -> int:
     """Flagship spatial pipeline: synth pages -> PIP join -> tile rollup.
     Returns number of input docs processed (for docs/sec)."""
@@ -317,6 +343,13 @@ def main() -> None:
         throughput["stream_events_per_sec"] = round(
             n_events / results["sessionize_stream"], 1
         )
+
+    # geographic kNN at throughput scale (200k probes x 2k targets)
+    t0 = time.time()
+    n_p = _run_geo_knn(spark)
+    dt = time.time() - t0
+    results["geo_knn_200k"] = round(dt, 3)
+    throughput["geo_knn_probes_per_sec"] = round(n_p / dt, 1)
 
     # flagship docs/sec at bench scale
     t0 = time.time()

@@ -90,6 +90,9 @@ _EXPORTS = {
     "knn_join": "pygeoops_spark.join.knn",
     "geodesic_knn_join": "pygeoops_spark.join.geo_knn",
     "geo_cell_id": "pygeoops_spark.join.geo_knn",
+    "geo_cover_cells_bbox": "pygeoops_spark.join.geo_knn",
+    "geo_bbox_join": "pygeoops_spark.join.geo_knn",
+    "geo_pip_join": "pygeoops_spark.join.geo_knn",
     "bbox_join": "pygeoops_spark.join.bbox",
     # text / dedup / ann pipeline
     "exact_dedup": "pygeoops_spark.text.dedup",

@@ -129,7 +129,24 @@ def split_tile_geometry(geom, ratio: float) -> list:
     """
     from pygeoops_spark.geom.clip import clip_geom_rect
     from pygeoops_spark.geom.validity import make_valid
-    from pygeoops_spark.geom.wkb import POLYGON, bounds, get_parts
+    from pygeoops_spark.geom.wkb import Geometry, POLYGON, bounds, get_parts
+
+    def _snap_to_cuts(g, sx0, sy0, sx1, sy1, tol):
+        """Snap coordinates within tol of a slab edge onto it EXACTLY.
+        Clip intersection points on the same cut line are computed
+        through different edge interpolations, so they land up to a
+        few ulps apart; the nonzero-winding arrangement handles
+        exactly-coincident opposite edges correctly but can drop a
+        sliver face for nearly-coincident ones (found by the
+        star-polygon property sweep)."""
+        rings = []
+        for ring in g.data:
+            r = np.array(ring, dtype=float, copy=True)
+            for v, col in ((sx0, 0), (sx1, 0), (sy0, 1), (sy1, 1)):
+                m = np.abs(r[:, col] - v) <= tol
+                r[m, col] = v
+            rings.append(r)
+        return Geometry(POLYGON, rings, g.dims)
 
     pieces = [geom]
     todo = ratio
@@ -140,27 +157,49 @@ def split_tile_geometry(geom, ratio: float) -> list:
         for g in pieces:
             x0, y0, x1, y1 = bounds(g)
             w, h = abs(x1 - x0), abs(y1 - y0)
+            # OUTER slab edges are padded past the piece's own bounds
+            # (matching the reference's +-1-padded cut lines): only the
+            # INTERIOR cut lines clip.  Re-clipping a piece along its
+            # own boundary — which coincides with a PREVIOUS cut line
+            # up to 1-ulp interpolation noise — creates overlapping
+            # opposite edges that degrade the arrangement repair and
+            # can drop a sliver face (found by the star-polygon
+            # property sweep).
             if divisor == 3:
                 if w > h:
-                    cuts = [x0, x0 + w / 3, x0 + 2 * w / 3, x1]
+                    cuts = [x0 - 1.0, x0 + w / 3, x0 + 2 * w / 3, x1 + 1.0]
                     slabs = [
                         (cuts[i], y0 - 1.0, cuts[i + 1], y1 + 1.0) for i in range(3)
                     ]
                 else:
-                    cuts = [y0, y0 + h / 3, y0 + 2 * h / 3, y1]
+                    cuts = [y0 - 1.0, y0 + h / 3, y0 + 2 * h / 3, y1 + 1.0]
                     slabs = [
                         (x0 - 1.0, cuts[i], x1 + 1.0, cuts[i + 1]) for i in range(3)
                     ]
             elif w > h:
                 xm = x0 + w / 2
-                slabs = [(x0, y0 - 1.0, xm, y1 + 1.0), (xm, y0 - 1.0, x1, y1 + 1.0)]
+                slabs = [
+                    (x0 - 1.0, y0 - 1.0, xm, y1 + 1.0),
+                    (xm, y0 - 1.0, x1 + 1.0, y1 + 1.0),
+                ]
             else:
                 ym = y0 + h / 2
-                slabs = [(x0 - 1.0, y0, x1 + 1.0, ym), (x0 - 1.0, ym, x1 + 1.0, y1)]
+                slabs = [
+                    (x0 - 1.0, y0 - 1.0, x1 + 1.0, ym),
+                    (x0 - 1.0, ym, x1 + 1.0, y1 + 1.0),
+                ]
+            tol = 1e-9 * max(w, h, 1.0)
             for sx0, sy0, sx1, sy1 in slabs:
                 c = clip_geom_rect(g, sx0, sy0, sx1, sy1)
                 if c is None:
                     continue
+                c = Geometry(
+                    c.type_id,
+                    [_snap_to_cuts(p, sx0, sy0, sx1, sy1, tol) for p in get_parts(c)]
+                    if c.type_id != POLYGON
+                    else _snap_to_cuts(c, sx0, sy0, sx1, sy1, tol).data,
+                    c.dims,
+                )
                 repaired = make_valid(c, keep_collapsed=False)
                 if repaired is None:
                     continue

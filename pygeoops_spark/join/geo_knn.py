@@ -48,7 +48,8 @@ cell-ring expansion over web-page points).
 
 from __future__ import annotations
 
-import math
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -213,6 +214,76 @@ def geo_bbox_join(
     return joined.where(lat_ov & lon_ov & dedup).drop(
         "_cell", "_cells", "_cells" + suffix
     )
+
+
+def geo_pip_join(
+    points: DataFrame,
+    zones: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    zone_geom: str = "zone_wkb",
+    level: int = 5,
+    broadcast_zones: bool = True,
+) -> DataFrame:
+    """Point-in-polygon join on geographic coordinates (plate-carree
+    edge semantics — straight edges in lon/lat space, the same
+    convention the reference applies to whatever CRS it is handed).
+
+    Zone convention: polygon coords and bbox columns (lonmin/latmin/
+    lonmax/latmax) are UNWRAPPED — a zone crossing the date line
+    continues past +180 (e.g. lon 170..190), so lonmax may exceed 180
+    and always lonmax >= lonmin.  Candidate cells come from the
+    wrapped cover; each candidate point is shifted into the zone's
+    frame (p' = lonmin + pmod(p - lonmin, 360)) before the bbox
+    prefilter and the shared crossing-number kernel, so date-line
+    zones need no special casing in the geometry test.
+
+    Same scale shape as join/pip.py: zones explode to cells once and
+    broadcast; the point table is never shuffled."""
+    from pyspark.sql.types import BooleanType
+
+    from pygeoops_spark.geom.kernels import points_in_polygon
+    from pygeoops_spark.geom.wkb import wkb_loads
+
+    span = F.col("lonmax") - F.col("lonmin")
+    wrapped_max = F.when(span >= F.lit(360.0), F.col("lonmin") + F.lit(360.0)).otherwise(
+        F.pmod(F.col("lonmax") + F.lit(180.0), F.lit(360.0)) - F.lit(180.0)
+    )
+    zc = zones.withColumn(
+        "_cell",
+        F.explode(
+            geo_cover_cells_bbox(
+                F.col("lonmin"), F.col("latmin"), wrapped_max, F.col("latmax"), level
+            )
+        ),
+    )
+    if broadcast_zones:
+        zc = F.broadcast(zc)
+    pts = points.withColumn("_cell", geo_cell_id(lon, lat, level))
+    cand = pts.join(zc, "_cell").drop("_cell")
+    # point longitude in the zone's unwrapped frame
+    plon = F.col("lonmin") + F.pmod(F.col(lon) - F.col("lonmin"), F.lit(360.0))
+    cand = cand.withColumn("_plon", plon).where(
+        (F.col("_plon") >= F.col("lonmin"))
+        & (F.col("_plon") <= F.col("lonmax"))
+        & (F.col(lat) >= F.col("latmin"))
+        & (F.col(lat) <= F.col("latmax"))
+    )
+
+    @F.pandas_udf(BooleanType())
+    def _pip(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
+        out = np.zeros(len(px), dtype=bool)
+        pxv, pyv = px.to_numpy(np.float64), py.to_numpy(np.float64)
+        groups: dict[bytes, list[int]] = {}
+        for i, b in enumerate(wkb):
+            groups.setdefault(bytes(b), []).append(i)
+        for b, idxs in groups.items():
+            geom = wkb_loads(b)
+            ii = np.asarray(idxs)
+            out[ii] = points_in_polygon(pxv[ii], pyv[ii], geom)
+        return pd.Series(out)
+
+    return cand.where(_pip(F.col("_plon"), F.col(lat), F.col(zone_geom))).drop("_plon")
 
 
 def great_circle_distance_sql(

@@ -265,3 +265,54 @@ def test_geo_cover_cells_bbox_wraps(spark):
     assert 15 in cols and 0 in cols
     # the whole-world box covers every cell exactly once
     assert sorted(rows[1]["c"]) == list(range(nlon * nlat))
+
+
+# -- geographic PIP join --------------------------------------------------
+
+
+def test_geo_pip_join_dateline_zone(spark):
+    """Zone crossing the date line (unwrapped coords 170..190): points
+    on BOTH sides of the seam that fall inside must join; nearby
+    outside points must not."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.join.geo_knn import geo_pip_join
+
+    zone = mk_poly([(170.0, -10.0), (190.0, -10.0), (190.0, 10.0), (170.0, 10.0)])
+    zones = spark.createDataFrame(
+        [(1, 170.0, -10.0, 190.0, 10.0, wkb_dumps(zone))],
+        ["zone_id", "lonmin", "latmin", "lonmax", "latmax", "zone_wkb"],
+    )
+    pts = spark.createDataFrame(
+        [
+            (0, 175.0, 0.0),    # inside, west of seam
+            (1, -175.0, 5.0),   # inside, east of seam (= 185 unwrapped)
+            (2, 160.0, 0.0),    # outside west
+            (3, -160.0, 0.0),   # outside east
+            (4, 175.0, 20.0),   # outside north
+        ],
+        ["pid", "lon", "lat"],
+    )
+    out = geo_pip_join(pts, zones, level=4)
+    got = sorted(r["pid"] for r in out.collect())
+    assert got == [0, 1]
+
+
+def test_geo_pip_join_plain_zone_triangle(spark):
+    """Non-wrapped triangular zone: interior/exterior points resolve by
+    the crossing-number kernel, not just the bbox."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.join.geo_knn import geo_pip_join
+
+    tri = mk_poly([(0.0, 0.0), (20.0, 0.0), (0.0, 20.0)])
+    zones = spark.createDataFrame(
+        [(7, 0.0, 0.0, 20.0, 20.0, wkb_dumps(tri))],
+        ["zone_id", "lonmin", "latmin", "lonmax", "latmax", "zone_wkb"],
+    )
+    pts = spark.createDataFrame(
+        [(0, 2.0, 2.0), (1, 15.0, 15.0), (2, 5.0, 10.0)],
+        ["pid", "lon", "lat"],
+    )
+    out = geo_pip_join(pts, zones, level=4)
+    got = sorted(r["pid"] for r in out.collect())
+    # (15,15) is inside the bbox but OUTSIDE the hypotenuse
+    assert got == [0, 2]

@@ -313,3 +313,37 @@ def test_split_tile_geometry_triangle_counts():
     children = split_tile_geometry(tri, 3.0)
     assert len(children) == 3
     assert sum(polygon_area(c) for c in children) == pytest.approx(36.0)
+
+
+def test_split_tile_geometry_property_convex():
+    """Property sweep: random star-shaped polygons (angular sort of a
+    random cloud), random split ratios — children conserve area exactly
+    and every child is a simple polygon (any pinch introduced by the
+    slab clip must have been separated by the nonzero repair)."""
+    import numpy as np
+
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.grid import split_tile_geometry
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.validity import polygon_is_simple
+    from pygeoops_spark.geom.wkb import POLYGON
+
+    rng = np.random.default_rng(17)
+    for trial in range(25):
+        pts = rng.uniform(0, 100, (12, 2))
+        # convex hull via angular sort around the centroid of extreme
+        # points (fine for random clouds; exact hull not needed — any
+        # simple polygon works for the property)
+        c = pts.mean(axis=0)
+        ang = np.arctan2(pts[:, 1] - c[1], pts[:, 0] - c[0])
+        ring = pts[np.argsort(ang)]
+        poly = polygon(ring.tolist())
+        in_area = polygon_area(poly)
+        ratio = float(rng.uniform(1.5, 9.0))
+        children = split_tile_geometry(poly, ratio)
+        assert children, f"trial {trial}: no children"
+        assert all(ch.type_id == POLYGON for ch in children)
+        total = sum(polygon_area(ch) for ch in children)
+        assert total == pytest.approx(in_area, rel=1e-9), f"trial {trial}"
+        for ch in children:
+            assert polygon_is_simple(ch), f"trial {trial}"
