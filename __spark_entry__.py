@@ -1044,11 +1044,18 @@ def _q_geodesic_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((i * 53 % 360 - 180).cast("double") + F.lit(3.0) * quarter).alias("lon2"),
         ((i * 29 % 140 - 70).cast("double") + half).alias("lat2"),
     )
+    from pygeoops_spark.operators.geodesic import geodesic_azimuth_col
+
+    az = geodesic_azimuth_col("lon1", "lat1", "lon2", "lat2", f=0.0)
+    # azimuth compared as (sin, cos) so the +-pi wrap seam cannot
+    # break parity; +0.0 folds any -0.0 from rounding
     return df.select(
         "pair_id",
         F.round(
             geodesic_distance_col("lon1", "lat1", "lon2", "lat2", f=0.0) / 1e7, 9
         ).alias("dist_e7"),
+        (F.round(F.sin(az), 9) + F.lit(0.0)).alias("az_sin"),
+        (F.round(F.cos(az), 9) + F.lit(0.0)).alias("az_cos"),
     )
 
 
@@ -1814,7 +1821,17 @@ def oracle_sql() -> dict[str, str]:
                              sin(radians(lat1)) * sin(radians(lat2))
                              + cos(radians(lat1)) * cos(radians(lat2))
                                * cos(radians(lon1 - lon2)))))
-                         / CAST(1e7 AS DOUBLE), 9) AS dist_e7
+                         / CAST(1e7 AS DOUBLE), 9) AS dist_e7,
+                   round(sin(atan2(
+                       sin(radians(lon2 - lon1)) * cos(radians(lat2)),
+                       cos(radians(lat1)) * sin(radians(lat2))
+                       - sin(radians(lat1)) * cos(radians(lat2))
+                         * cos(radians(lon2 - lon1)))), 9) + CAST(0 AS DOUBLE) AS az_sin,
+                   round(cos(atan2(
+                       sin(radians(lon2 - lon1)) * cos(radians(lat2)),
+                       cos(radians(lat1)) * sin(radians(lat2))
+                       - sin(radians(lat1)) * cos(radians(lat2))
+                         * cos(radians(lon2 - lon1)))), 9) + CAST(0 AS DOUBLE) AS az_cos
             FROM p
         """,
         "geodesic_knn": """

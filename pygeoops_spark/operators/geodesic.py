@@ -54,9 +54,16 @@ def geodesic_distance_col(
     )
 
 
-def geodesic_azimuth_col(lon1, lat1, lon2, lat2) -> Column:
+def geodesic_azimuth_col(
+    lon1, lat1, lon2, lat2, a: float | None = None, f: float | None = None
+) -> Column:
     """Forward azimuth in radians (clockwise from north) of the
-    geodesic from point 1 to point 2."""
+    geodesic from point 1 to point 2.  Defaults to WGS84; ``f=0`` is
+    the exact sphere limit (initial great-circle bearing)."""
+    from pygeoops_spark.geom.geodesic import WGS84_A, WGS84_F
+
+    ell_a = WGS84_A if a is None else float(a)
+    ell_f = WGS84_F if f is None else float(f)
 
     @F.pandas_udf(DoubleType())
     def _az(
@@ -65,7 +72,8 @@ def geodesic_azimuth_col(lon1, lat1, lon2, lat2) -> Column:
         from pygeoops_spark.geom.geodesic import geodesic_inverse
 
         _s12, az = geodesic_inverse(
-            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy()
+            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy(),
+            a=ell_a, f=ell_f,
         )
         return pd.Series(az)
 
