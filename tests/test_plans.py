@@ -155,3 +155,32 @@ def test_geo_knn_broadcasts_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan  # sphere mode is pure SQL
+
+
+def test_geo_knn_shuffle_path_no_cartesian(spark):
+    """broadcast_targets=False (the 10^12-target regime): the candidate
+    join degrades to a shuffled equi-join on cell ids — still no
+    cartesian product, no Python in the sphere-mode plan."""
+    from pygeoops_spark.join.geo_knn import geodesic_knn_join
+
+    probes = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 3.6 - 180).alias("lon"),
+        (F.col("id") * 1.6 - 80).alias("lat"),
+    )
+    targets = spark.range(50).select(
+        F.col("id").alias("tid"),
+        (F.col("id") * 7.2 - 180).alias("lon"),
+        (F.col("id") * 3.2 - 80).alias("lat"),
+    )
+    out = geodesic_knn_join(
+        probes, targets, "pid", "tid", k=2, level=3, radius=1,
+        broadcast_targets=False,
+    )
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the equi-join key is the cell id (shuffle or broadcast, AQE may
+    # still choose broadcast for tiny test inputs — assert it is an
+    # equi-join either way)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

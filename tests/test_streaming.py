@@ -264,3 +264,33 @@ def test_streaming_near_dedup_suppresses_simhash_collisions(spark):
     got = spark.sql("select count(*) c from near_deduped").first()["c"]
     want = simhash_signatures(docs).select("simhash").distinct().count()
     assert got == want
+
+
+def test_streaming_geo_cell_assignment(spark, tmp_path):
+    """geo_cell_id is a pure projection, so it composes directly into
+    a Structured Streaming pipeline (the geographic analog of
+    assign_stream_to_grid)."""
+    import pandas as pd
+
+    from pygeoops_spark.join.geo_knn import geo_cell_id
+
+    src = tmp_path / "geo_src"
+    src.mkdir()
+    pd.DataFrame(
+        {"pid": [0, 1, 2], "lon": [179.9, -179.9, 0.0], "lat": [10.0, 10.0, 0.0]}
+    ).to_parquet(src / "p.parquet")
+    batch = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = stream.withColumn("cell", geo_cell_id("lon", "lat", 4))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("geo_cells_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["pid"]: r["cell"] for r in spark.table("geo_cells_t").collect()}
+    exp = {r["pid"]: r["cell"] for r in batch.withColumn(
+        "cell", geo_cell_id("lon", "lat", 4)).collect()}
+    assert rows == exp
