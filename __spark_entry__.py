@@ -1247,20 +1247,47 @@ def _q_geodesic_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         dl = 1.0 + (i * 7) % 50
         lon0 = float((i * 11) % 300 - 150)
         tri = mk_poly([(lon0, 0.0), (lon0 + dl, 0.0), (lon0, 90.0)])
-        rows.append((i, wkb_dumps(tri)))
-    df = spark.createDataFrame(pdl.DataFrame(rows, columns=["tri_id", "wkb"]))
+        rows.append((1, i, wkb_dumps(tri)))
+    # variant 2 (round 4): OBLIQUE triangles in the exact sphere limit
+    # (f=0), where DuckDB can compute the area INDEPENDENTLY via
+    # L'Huilier's spherical excess (kernel-vs-closed-form agreement
+    # measured 6e-15 relative at build time) — pins the oblique area
+    # path with an oracle that does not come from the in-repo ODE
+    # integrator
+    for i in range(64):
+        lon0 = float((i * 31) % 300 - 150) + 0.5
+        lat0 = float((i * 13) % 100 - 50) + 0.25
+        tri = mk_poly(
+            [
+                (lon0, lat0),
+                (lon0 + 20.0 + i % 15, lat0 + 3.0),
+                (lon0 + 5.0, lat0 + 25.0 + i % 10),
+            ]
+        )
+        rows.append((2, i, wkb_dumps(tri)))
+    df = spark.createDataFrame(
+        pdl.DataFrame(rows, columns=["variant", "tri_id", "wkb"])
+    )
 
     @F.pandas_udf(DoubleType())
-    def area_e13(wkbs: pd.Series) -> pd.Series:
+    def area_e13(variants: pd.Series, wkbs: pd.Series) -> pd.Series:
         import numpy as np
 
         out = []
-        for b in wkbs:
+        for v, b in zip(variants, wkbs):
             g = wkb_loads(bytes(b))
-            out.append(ring_area_ellipsoidal(np.asarray(g.data[0])) / 1e13)
+            ring = np.asarray(g.data[0])
+            if int(v) == 2:
+                out.append(abs(ring_area_ellipsoidal(ring, f=0.0)) / 1e13)
+            else:
+                out.append(ring_area_ellipsoidal(ring) / 1e13)
         return pd.Series(out)
 
-    return df.select("tri_id", F.round(area_e13("wkb"), 9).alias("area_e13"))
+    return df.select(
+        "variant",
+        "tri_id",
+        F.round(area_e13("variant", "wkb"), 9).alias("area_e13"),
+    )
 
 
 def _q_buffer_point_area(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1988,12 +2015,12 @@ def oracle_sql() -> dict[str, str]:
             FROM range(1000) t(i)
         """,
         "geodesic_area": """
-            -- WGS84 pole wedge, ellipsoidal closed form: the wedge
-            -- between two meridians dl degrees apart covers dl/360 of
-            -- a hemisphere: A = radians(dl) * Z(pi/2), where
-            -- Z(pi/2) = (a^2/2) * (1 + (1-e^2) * atanh(e)/e) is the
-            -- closed-form zone function (total ellipsoid area is
-            -- 4*pi*Z(pi/2) = 510065621724088.44 m^2)
+            -- variant 1: WGS84 pole wedge, ellipsoidal closed form
+            -- (wedge between meridians dl apart = dl/360 of a
+            -- hemisphere: A = radians(dl) * Z(pi/2) with the closed
+            -- zone function; 4*pi*Z(pi/2) = 510065621724088.44 m^2).
+            -- variant 2: OBLIQUE sphere triangles (kernel at f=0) vs
+            -- L'Huilier's spherical excess computed independently.
             WITH wgs AS (
                 SELECT CAST(6378137.0 AS DOUBLE) AS a,
                        CAST(1.0 AS DOUBLE) / CAST(298.257223563 AS DOUBLE) AS f
@@ -2004,7 +2031,6 @@ def oracle_sql() -> dict[str, str]:
             ), zp AS (
                 -- expression structure mirrors geom/geodesic.py
                 -- zone_area(1.0): (a^2 (1-e2) / 2) * (1/(1-e2) + atanh(e)/e)
-                -- so the doubles track the Spark side ulp-for-ulp
                 SELECT (a * a * (CAST(1.0 AS DOUBLE) - e2) / CAST(2.0 AS DOUBLE))
                        * (CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - e2)
                           + (CAST(0.5 AS DOUBLE)
@@ -2012,11 +2038,48 @@ def oracle_sql() -> dict[str, str]:
                                   / (CAST(1.0 AS DOUBLE) - ecc))) / ecc)
                        AS z_pole
                 FROM e
+            ), tri AS (
+                SELECT i AS tri_id,
+                       CAST((i * 31) % 300 - 150 AS DOUBLE) + CAST(1 AS DOUBLE) / 2 AS x1,
+                       CAST((i * 13) % 100 - 50 AS DOUBLE) + CAST(1 AS DOUBLE) / 4 AS y1
+                FROM range(64) t(i)
+            ), tri3 AS (
+                SELECT tri_id, x1, y1,
+                       x1 + CAST(20 + tri_id % 15 AS DOUBLE) AS x2,
+                       y1 + CAST(3 AS DOUBLE) AS y2,
+                       x1 + CAST(5 AS DOUBLE) AS x3,
+                       y1 + CAST(25 + tri_id % 10 AS DOUBLE) AS y3
+                FROM tri
+            ), sides AS (
+                SELECT tri_id,
+                       acos(least(CAST(1 AS DOUBLE), greatest(CAST(-1 AS DOUBLE),
+                           sin(radians(y1))*sin(radians(y2))
+                           + cos(radians(y1))*cos(radians(y2))*cos(radians(x1 - x2))))) AS sa,
+                       acos(least(CAST(1 AS DOUBLE), greatest(CAST(-1 AS DOUBLE),
+                           sin(radians(y2))*sin(radians(y3))
+                           + cos(radians(y2))*cos(radians(y3))*cos(radians(x2 - x3))))) AS sb,
+                       acos(least(CAST(1 AS DOUBLE), greatest(CAST(-1 AS DOUBLE),
+                           sin(radians(y3))*sin(radians(y1))
+                           + cos(radians(y3))*cos(radians(y1))*cos(radians(x3 - x1))))) AS sc
+                FROM tri3
+            ), excess AS (
+                SELECT tri_id,
+                       CAST(4 AS DOUBLE) * atan(sqrt(greatest(CAST(0 AS DOUBLE),
+                           tan((sa + sb + sc) / CAST(4 AS DOUBLE))
+                           * tan(((sb + sc - sa)) / CAST(4 AS DOUBLE))
+                           * tan(((sa + sc - sb)) / CAST(4 AS DOUBLE))
+                           * tan(((sa + sb - sc)) / CAST(4 AS DOUBLE))))) AS exc
+                FROM sides
             )
-            SELECT i AS tri_id,
+            SELECT 1 AS variant, i AS tri_id,
                    round(radians(1 + (i * 7) % 50) * z_pole
                          / CAST(1e13 AS DOUBLE), 9) AS area_e13
             FROM range(64) t(i), zp
+            UNION ALL
+            SELECT 2 AS variant, tri_id,
+                   round(CAST(6378137 AS DOUBLE) * CAST(6378137 AS DOUBLE) * exc
+                         / CAST(1e13 AS DOUBLE), 9) AS area_e13
+            FROM excess
         """,
         "buffer_point_area": """
             SELECT i AS pt_id,
