@@ -1015,11 +1015,36 @@ def _q_geodesic_destination(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdl.DataFrame(rows, columns=["path_id", "lon1", "lat1", "az", "dist"])
     )
     dest = geodesic_destination_cols("lon1", "lat1", "az", "dist")
-    return df.select(
+    eq = df.select(
+        F.lit(1).alias("variant"),
         "path_id",
         (F.round(dest["lon2"], 9) + F.lit(0.0)).alias("lon2"),
         (F.round(dest["lat2"], 9) + F.lit(0.0)).alias("lat2"),
     )
+    # variant 2 (round 4): OBLIQUE azimuths in the exact sphere limit
+    # (f=0) — DuckDB computes the great-circle waypoint closed form
+    # independently; azimuths built in SQL so both engines consume
+    # bit-identical inputs (kernel-vs-closed-form agreement measured
+    # 6e-14 deg at build time, seam margin 0.45 deg, rounding-boundary
+    # margin 9e-12).
+    half = F.lit(1.0) / F.lit(2.0)
+    quarter = F.lit(1.0) / F.lit(4.0)
+    i = F.col("id")
+    obl = spark.range(64).select(
+        i.alias("path_id"),
+        ((i * 37 % 360 - 180).cast("double") + half).alias("lon1"),
+        ((i * 23 % 160 - 80).cast("double") + quarter).alias("lat1"),
+        (F.radians((i * 29 % 360).cast("double")) + F.lit(1.0) / F.lit(100.0)).alias("az"),
+        ((100 + (i * 97) % 15000).cast("double") * F.lit(1000.0)).alias("dist"),
+    )
+    dest2 = geodesic_destination_cols("lon1", "lat1", "az", "dist", f=0.0)
+    sph = obl.select(
+        F.lit(2).alias("variant"),
+        "path_id",
+        (F.round(dest2["lon2"], 9) + F.lit(0.0)).alias("lon2"),
+        (F.round(dest2["lat2"], 9) + F.lit(0.0)).alias("lat2"),
+    )
+    return eq.unionByName(sph)
 
 
 def _q_geodesic_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1895,21 +1920,44 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE knn_rank <= 3
         """,
         "geodesic_destination": """
-            -- due-east equatorial path of a*radians(dl) metres lands
-            -- at lon0+dl on the equator exactly; wrap to (-180, 180]
-            -- like the engine's remainder arithmetic
-            WITH p AS (
-                SELECT i,
-                       CAST((i * 13) % 180 - 90 AS DOUBLE)
-                       + CAST(1 + (i * 7) % 120 AS DOUBLE) AS x
-                FROM range(64) t(i)
+            -- variant 1: eastward equatorial closed form (the equator
+            -- is a geodesic: destination lon = lon0 + dl exactly).
+            -- variant 2: oblique sphere (f=0) great-circle waypoint
+            -- closed form, computed independently by DuckDB.
+            WITH obl AS (
+              SELECT i AS path_id,
+                     CAST((i * 37) % 360 - 180 AS DOUBLE) + CAST(1 AS DOUBLE) / 2 AS lon1,
+                     radians(CAST((i * 23) % 160 - 80 AS DOUBLE) + CAST(1 AS DOUBLE) / 4) AS p1,
+                     radians(CAST((i * 29) % 360 AS DOUBLE)) + CAST(1 AS DOUBLE) / 100 AS az,
+                     CAST(100 + (i * 97) % 15000 AS DOUBLE) * CAST(1000 AS DOUBLE)
+                       / CAST(6378137 AS DOUBLE) AS d
+              FROM range(64) t(i)
+            ), wp AS (
+              SELECT path_id, lon1, az, d, p1,
+                     asin(least(CAST(1 AS DOUBLE), greatest(CAST(-1 AS DOUBLE),
+                         sin(p1) * cos(d) + cos(p1) * sin(d) * cos(az)))) AS p2
+              FROM obl
             )
-            SELECT i AS path_id,
-                   round((x + 180.0)
-                         - 360.0 * floor((x + 180.0) / 360.0), 9)
-                   - 180.0 + 0.0 AS lon2,
-                   CAST(0.0 AS DOUBLE) AS lat2
-            FROM p
+            SELECT 1 AS variant, i AS path_id,
+                   -- wrap to (-180, 180] like the engine's remainder
+                   -- arithmetic (defensive: current max is 171)
+                   round((CAST((i * 13) % 180 - 90 AS DOUBLE)
+                          + (1 + (i * 7) % 120) + CAST(180 AS DOUBLE))
+                         - CAST(360 AS DOUBLE)
+                           * floor((CAST((i * 13) % 180 - 90 AS DOUBLE)
+                                    + (1 + (i * 7) % 120) + CAST(180 AS DOUBLE))
+                                   / CAST(360 AS DOUBLE)), 9)
+                   - CAST(180 AS DOUBLE) + CAST(0 AS DOUBLE) AS lon2,
+                   CAST(0 AS DOUBLE) AS lat2
+            FROM range(64) t(i)
+            UNION ALL
+            SELECT 2 AS variant, path_id,
+                   round(((lon1 + degrees(atan2(
+                       sin(az) * sin(d) * cos(p1),
+                       cos(d) - sin(p1) * sin(p2))) + CAST(180 AS DOUBLE)) % 360
+                       + 360) % 360 - CAST(180 AS DOUBLE), 9) + CAST(0 AS DOUBLE) AS lon2,
+                   round(degrees(p2), 9) + CAST(0 AS DOUBLE) AS lat2
+            FROM wp
         """,
         "sessionize_stream": """
             -- SQL gap sessionization minus each user's final (open)

@@ -85,9 +85,18 @@ def geodesic_azimuth_col(
     )
 
 
-def geodesic_destination_cols(lon1, lat1, azimuth_rad, distance_m):
+def geodesic_destination_cols(
+    lon1, lat1, azimuth_rad, distance_m,
+    a: float | None = None, f: float | None = None,
+):
     """(lon2, lat2) destination columns for the direct geodesic problem
-    (start degrees, azimuth radians clockwise from north, metres)."""
+    (start degrees, azimuth radians clockwise from north, metres).
+    Defaults to WGS84; ``f=0`` is the exact sphere limit (great-circle
+    waypoint)."""
+    from pygeoops_spark.geom.geodesic import WGS84_A, WGS84_F
+
+    ell_a = WGS84_A if a is None else float(a)
+    ell_f = WGS84_F if f is None else float(f)
 
     @F.pandas_udf("struct<lon2:double,lat2:double>")
     def _dest(
@@ -96,7 +105,8 @@ def geodesic_destination_cols(lon1, lat1, azimuth_rad, distance_m):
         from pygeoops_spark.geom.geodesic import geodesic_direct
 
         lon2, lat2 = geodesic_direct(
-            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy()
+            a.to_numpy(), b.to_numpy(), c.to_numpy(), d.to_numpy(),
+            a=ell_a, f=ell_f,
         )
         return pd.DataFrame({"lon2": lon2, "lat2": lat2})
 
