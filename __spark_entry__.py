@@ -799,18 +799,57 @@ def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
 
 
-def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pygeoops_spark.text.dedup import exact_dedup
+def _q_dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact_dedup + prefix_fingerprint_dedup in one variant-tagged
+    union (folded to free a driver slot for url_host_stats)."""
+    from pygeoops_spark.text.dedup import exact_dedup, prefix_fingerprint_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_dedup(docs)
+    a = exact_dedup(docs).select(F.lit(1).alias("variant"), "keep_id", "dup_count")
+    b = prefix_fingerprint_dedup(docs, prefix_len=40).select(
+        F.lit(2).alias("variant"), "keep_id", "dup_count"
+    )
+    return a.unionByName(b)
 
 
-def _q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pygeoops_spark.text.dedup import prefix_fingerprint_dedup
+def _q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus rollup (text/url.py): 4000 synthetic urls in
+    three messy shapes (mixed case, explicit port, fragment, userinfo)
+    over 50 hosts; host extraction / path depth / distinct-text rate
+    must match DuckDB computing the same string surgery independently.
+    URL strings are built from integer arithmetic in BOTH engines, so
+    the inputs are byte-identical."""
+    from pygeoops_spark.text.url import host_stats
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return prefix_fingerprint_dedup(docs, prefix_len=40)
+    i = F.col("id")
+    s = (i % 50).cast("string")
+    url = (
+        F.when(
+            i % 3 == 0,
+            F.concat(
+                F.lit("https://Site"), s, F.lit(".Example:443/p/"),
+                i.cast("string"), F.lit("?q=1"),
+            ),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("http://site"), s, F.lit(".example/p/"),
+                (i % 20).cast("string"), F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://user@site"), s, F.lit(".example/a/b/"),
+                i.cast("string"),
+            )
+        )
+    )
+    pages = spark.range(4000).select(
+        url.alias("url"),
+        F.concat(F.lit("text "), (i % 7).cast("string")).alias("text"),
+    )
+    return host_stats(pages)
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1371,8 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_parts": _q_explode_parts,
         "events_rollup": _q_events_rollup,
         "extract_text": _q_extract_text,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_prefix": _q_dedup_prefix,
+        "dedup_exact_prefix": _q_dedup_exact_prefix,
+        "url_host_stats": _q_url_host_stats,
         "det_sample": _q_det_sample,
         "topk_per_group": _q_topk_per_group,
         "text_quality": _q_text_quality,
@@ -1700,14 +1739,61 @@ def oracle_sql() -> dict[str, str]:
                                        '<[^>]*>', '', 'g') = text AS INT) AS text_identical
             FROM documents
         """,
-        "dedup_exact": """
-            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        "dedup_exact_prefix": """
+            SELECT 1 AS variant, min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY text
-        """,
-        "dedup_prefix": """
-            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            UNION ALL
+            SELECT 2 AS variant, min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY substr(text, 1, 40)
         """,
+        "url_host_stats": """
+            -- independent host extraction: authority = between '//'
+            -- and the next '/', userinfo and port stripped, lowered
+            WITH u AS (
+              SELECT i,
+                     CASE CAST(i % 3 AS INT)
+                       WHEN 0 THEN 'https://Site' || CAST(i % 50 AS VARCHAR)
+                            || '.Example:443/p/' || CAST(i AS VARCHAR) || '?q=1'
+                       WHEN 1 THEN 'http://site' || CAST(i % 50 AS VARCHAR)
+                            || '.example/p/' || CAST(i % 20 AS VARCHAR) || '#frag'
+                       ELSE 'https://user@site' || CAST(i % 50 AS VARCHAR)
+                            || '.example/a/b/' || CAST(i AS VARCHAR)
+                     END AS url,
+                     'text ' || CAST(i % 7 AS VARCHAR) AS text
+              FROM range(4000) t(i)
+            ), parts AS (
+              SELECT i, url, text,
+                     split_part(url, '//', 2) AS rest
+              FROM u
+            ), auth AS (
+              SELECT i, url, text, rest,
+                     split_part(rest, '/', 1) AS authority,
+                     split_part(split_part(rest, '#', 1), '?', 1) AS no_fq
+              FROM parts
+            ), hosts AS (
+              SELECT i, text,
+                     lower(split_part(
+                       CASE WHEN position('@' IN authority) > 0
+                            THEN split_part(authority, '@', 2)
+                            ELSE authority END, ':', 1)) AS host,
+                     substr(no_fq, length(authority) + 1) AS path
+              FROM auth
+            ), depths AS (
+              SELECT i, text, host,
+                     CAST(len(list_filter(string_split(path, '/'),
+                                          s -> s <> '')) AS BIGINT) AS depth
+              FROM hosts
+            )
+            SELECT host,
+                   count(*) AS n_pages,
+                   count(DISTINCT text) AS n_distinct_text,
+                   max(depth) AS max_path_depth,
+                   round(CAST(1 AS DOUBLE)
+                         - count(DISTINCT text) / CAST(count(*) AS DOUBLE),
+                         6) AS dup_rate
+            FROM depths GROUP BY host
+        """,
+        
         "det_sample": f"""
             SELECT doc_id, lang,
                    CAST({_det_hash_oracle("doc_id")} AS BIGINT) AS bucket

@@ -36,7 +36,8 @@ BENCH_QUERIES = [
     "view_angles_all",
     "geo_bbox_join",
     "simplify_rdp",
-    "dedup_exact",
+    "dedup_exact_prefix",
+    "url_host_stats",
     "det_sample",
     "topk_per_group",
     "text_quality",

@@ -99,6 +99,11 @@ _EXPORTS = {
     "jaccard_pairs": "pygeoops_spark.text.dedup",
     "minhash_lsh_pairs": "pygeoops_spark.text.dedup",
     "simhash_pairs": "pygeoops_spark.text.dedup",
+    "url_host": "pygeoops_spark.text.url",
+    "url_normalize": "pygeoops_spark.text.url",
+    "url_path_depth": "pygeoops_spark.text.url",
+    "host_stats": "pygeoops_spark.text.url",
+    "host_balanced_sample": "pygeoops_spark.text.url",
     "det_sample": "pygeoops_spark.text.sampling",
     "stratified_sample": "pygeoops_spark.text.sampling",
     "topk_per_group": "pygeoops_spark.text.sampling",
