@@ -241,13 +241,23 @@ def centerline(
         if pruned:
             lines = pruned
 
-    # 6. simplify (DP)
+    # 6. simplify (DP). Tolerance is floored at a scale-relative epsilon
+    # (~500 ulps of the coordinate magnitude): for extremely narrow
+    # polygons 0.25 * avg_width can drop below the float noise of the
+    # overlay's crossing points, leaving numerically-collinear vertices
+    # (deviation ~1e-13 relative) that GEOS/the reference would never
+    # emit.
     if simplifytolerance is not None and simplifytolerance != 0:
         tol = simplifytolerance
         if tol < 0:
             if avg_w is None:
                 avg_w = average_width(geom)
             tol = abs(simplifytolerance) * avg_w
+        scale = max(
+            (float(np.abs(np.asarray(c)[:, :2]).max()) for c in lines if len(c)),
+            default=1.0,
+        )
+        tol = max(tol, scale * 1e-13)
         lines = [c[rdp_idx(c, tol)] for c in lines]
 
     result: Geometry = (

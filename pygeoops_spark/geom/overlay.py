@@ -24,8 +24,26 @@ subtrahends once then a single difference, :167-169) and the polygon
 unions in buffer_by_m / centerline.
 
 Robustness: exact float arithmetic where possible; vertices are snapped
-to a 1e-9 grid during stitching (mirrors the reference's 1e-8 dedup +
-set_precision fallbacks in _centerline.py:146-172).
+to a scale-relative grid during stitching (mirrors the reference's 1e-8
+dedup + set_precision fallbacks in _centerline.py:146-172). Two
+hardening rules keep shared/near-shared boundaries consistent (the
+reference gets these for free from GEOS, _difference.py:171-181):
+
+ * vertex-on-edge noding: every edge is additionally cut at other-set
+   VERTICES lying within ``10*snap`` of it, using the vertex's own
+   coordinates as the cut point. This covers exact and near-collinear
+   overlapping edges (adjacent parcels sharing a partial boundary),
+   T-junctions, and vertices a few ulps off an edge — the class where
+   the general-position crossing solve has a ~zero denominator and
+   produced no cut at all, silently dropping whole faces.
+ * symmetric crossing points: a proper crossing between edge E and
+   edge O is emitted as the average of both parameterizations
+   ``((e1 + t*d) + (o1 + u*s)) / 2``. All inputs to that expression
+   are exact negation/commutation images under the role swap
+   (qp' = -qp, denom' = -denom, hence t' = u and u' = t bit-exactly),
+   so the two independent noding passes of an operation produce
+   IDENTICAL cut coordinates and ring stitching always reconnects —
+   even for ill-conditioned near-parallel crossings.
 """
 
 from __future__ import annotations
@@ -47,8 +65,25 @@ from pygeoops_spark.geom.wkb import (
 SNAP = 1e-9
 
 
-def _key(p) -> tuple[int, int]:
-    return (round(p[0] / SNAP), round(p[1] / SNAP))
+def _key(p, snap: float = SNAP) -> tuple[int, int]:
+    return (round(p[0] / snap), round(p[1] / snap))
+
+
+def _op_snap(geoms) -> float:
+    """Scale-relative snap for one overlay operation: 1e-9 for unit-ish
+    coordinates, growing with magnitude so the int64 grid keys stay
+    exact (1e-9 absolute overflows the 2^53 mantissa near |x| ~ 1e7,
+    e.g. projected metre coordinates)."""
+    m = 1.0
+    for g in geoms:
+        if g is None:
+            continue
+        for p in get_parts(g):
+            for ring in p.data:
+                arr = np.asarray(ring, dtype=float)
+                if arr.size:
+                    m = max(m, float(np.abs(arr[:, :2]).max()))
+    return max(SNAP, m * 1e-12)
 
 
 def _poly_edges(poly: Geometry) -> list[tuple[np.ndarray, np.ndarray]]:
@@ -97,12 +132,19 @@ def _seg_intersections(a1, a2, b1, b2) -> list[np.ndarray]:
 def _node_edges(
     edges: list[tuple[np.ndarray, np.ndarray]],
     others: list[list[tuple[np.ndarray, np.ndarray]]],
+    snap: float = SNAP,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
-    """Split each edge at intersections with edges of the other sets.
+    """Split each edge at intersections with edges of the other sets,
+    and at other-set vertices lying within ``10*snap`` of it.
 
     Per edge, the general-position intersection test against ALL bbox
-    candidates is one vectorized numpy pass; only collinear candidates
-    (denom == 0 with zero cross — rare) drop to the scalar helper."""
+    candidates is one vectorized numpy pass (block size caps the bool
+    matrix at ~4M cells). Crossing points are the symmetric average of
+    both edges' parameterizations — bit-identical when this function is
+    called again with the roles swapped (see module docstring), so the
+    two sides of an overlay always agree on cut coordinates. Crossings
+    closer than ``snap`` to any of the four endpoints are left to the
+    vertex pass (the endpoint itself is the node there)."""
     if not others:
         return edges
     all_other = [e for o in others for e in o]
@@ -119,11 +161,17 @@ def _node_edges(
     d_all = e2 - e1
     eb_lo = np.minimum(e1, e2)
     eb_hi = np.maximum(e1, e2)
-    # one blocked (edges x others) pass: bbox candidate matrix, then a
-    # single vectorized intersection solve over the surviving pairs —
-    # replaces the per-edge Python loop (the profiled hot spot of every
-    # union/difference). Block size caps the bool matrix at ~4M cells.
-    cuts_per_edge: list[list[float] | None] = [None] * n_e
+    len_d_all = np.hypot(d_all[:, 0], d_all[:, 1])
+    len_s_all = np.hypot(s_all[:, 0], s_all[:, 1])
+    # cut list per edge: (t, x, y) — the POINT is authoritative (vertex
+    # cuts carry the vertex's exact coordinates), t only orders them.
+    cuts_per_edge: list[list[tuple[float, float, float]] | None] = [None] * n_e
+
+    def _add_cut(i_e: int, t_v: float, px: float, py: float) -> None:
+        if cuts_per_edge[i_e] is None:
+            cuts_per_edge[i_e] = []
+        cuts_per_edge[i_e].append((t_v, px, py))
+
     blk = max(1, 4_000_000 // max(n_o, 1))
     for b0 in range(0, n_e, blk):
         b1 = min(n_e, b0 + blk)
@@ -145,38 +193,72 @@ def _node_edges(
         if gen.any():
             t = (qp[gen, 0] * s[gen, 1] - qp[gen, 1] * s[gen, 0]) / denom[gen]
             u = (qp[gen, 0] * d[gen, 1] - qp[gen, 1] * d[gen, 0]) / denom[gen]
-            m = (t > 1e-12) & (t < 1 - 1e-12) & (u >= 0.0) & (u <= 1.0)
-            for i_e, t_v in zip(ii[gen][m].tolist(), t[m].tolist()):
-                if cuts_per_edge[i_e] is None:
-                    cuts_per_edge[i_e] = []
-                cuts_per_edge[i_e].append(t_v)
-        if not gen.all():
-            # collinear candidates (denom == 0 with zero cross — rare):
-            # scalar overlap-endpoint helper
-            coll = ~gen & (qp[:, 0] * d[:, 1] - qp[:, 1] * d[:, 0] == 0)
-            for i_e, j_o in zip(ii[coll].tolist(), jj[coll].tolist()):
-                a, b = edges[i_e]
-                dv = d_all[i_e]
-                dd = float(dv @ dv)
-                if dd == 0:
-                    continue
-                for ip in _seg_intersections(a, b, o1[j_o], o2[j_o]):
-                    t1 = float((ip - a) @ dv) / dd
-                    if 1e-12 < t1 < 1 - 1e-12:
-                        if cuts_per_edge[i_e] is None:
-                            cuts_per_edge[i_e] = []
-                        cuts_per_edge[i_e].append(t1)
+            ld = len_d_all[ii[gen]]
+            ls = len_s_all[jj[gen]]
+            m = (
+                (t * ld > snap)
+                & ((1.0 - t) * ld > snap)
+                & (u * ls > snap)
+                & ((1.0 - u) * ls > snap)
+            )
+            if m.any():
+                ig = ii[gen][m]
+                jg = jj[gen][m]
+                tm = t[m]
+                um = u[m]
+                pe = e1[ig] + tm[:, None] * d_all[ig]
+                po = o1[jg] + um[:, None] * s_all[jg]
+                pavg = (pe + po) / 2.0
+                for i_e, t_v, px, py in zip(
+                    ig.tolist(), tm.tolist(), pavg[:, 0].tolist(), pavg[:, 1].tolist()
+                ):
+                    _add_cut(i_e, t_v, px, py)
+    # vertex-on-edge pass: other-set endpoints within 10*snap of an
+    # edge's interior become cuts AT THE VERTEX COORDINATES. Covers
+    # (near-)collinear partial overlap, T-junctions and near-incident
+    # vertices — all the shapes where the crossing solve above has a
+    # ~zero denominator. 10*snap matches _classify's on-boundary
+    # tolerance so "cut here" and "shared boundary" stay in agreement.
+    verts = np.unique(np.vstack([o1, o2]), axis=0)
+    vtol = snap * 10.0
+    n_v = len(verts)
+    blk_v = max(1, 4_000_000 // max(n_v, 1))
+    for b0 in range(0, n_e, blk_v):
+        b1 = min(n_e, b0 + blk_v)
+        cand = (
+            (verts[None, :, 0] >= eb_lo[b0:b1, None, 0] - vtol)
+            & (verts[None, :, 0] <= eb_hi[b0:b1, None, 0] + vtol)
+            & (verts[None, :, 1] >= eb_lo[b0:b1, None, 1] - vtol)
+            & (verts[None, :, 1] <= eb_hi[b0:b1, None, 1] + vtol)
+        )
+        ii, jj = np.nonzero(cand)
+        if not len(ii):
+            continue
+        ii = ii + b0
+        d = d_all[ii]
+        dd = d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+        v = verts[jj]
+        w = v - e1[ii]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(dd == 0, -1.0, (w[:, 0] * d[:, 0] + w[:, 1] * d[:, 1]) / np.where(dd == 0, 1.0, dd))
+        proj = e1[ii] + t[:, None] * d
+        dist = np.hypot(v[:, 0] - proj[:, 0], v[:, 1] - proj[:, 1])
+        ld = len_d_all[ii]
+        m = (dist <= vtol) & (t * ld > vtol) & ((1.0 - t) * ld > vtol)
+        if m.any():
+            for i_e, t_v, px, py in zip(
+                ii[m].tolist(), t[m].tolist(), v[m, 0].tolist(), v[m, 1].tolist()
+            ):
+                _add_cut(i_e, t_v, px, py)
     out = []
     for i, (a, b) in enumerate(edges):
         cuts = cuts_per_edge[i]
         if not cuts:
             out.append((a, b))
             continue
-        d = d_all[i]
-        ts = sorted(set([0.0] + cuts + [1.0]))
-        for t0, t1 in zip(ts[:-1], ts[1:]):
-            p, q = a + t0 * d, a + t1 * d
-            if _key(p) != _key(q):
+        pts = [a] + [np.array([px, py]) for _t, px, py in sorted(cuts)] + [b]
+        for p, q in zip(pts[:-1], pts[1:]):
+            if _key(p, snap) != _key(q, snap):
                 out.append((p, q))
     return out
 
@@ -217,7 +299,9 @@ def _min_boundary_dist(mids: np.ndarray, segs: np.ndarray) -> np.ndarray:
     return min_d
 
 
-def _classify(edges: list[tuple[np.ndarray, np.ndarray]], poly: Geometry) -> np.ndarray:
+def _classify(
+    edges: list[tuple[np.ndarray, np.ndarray]], poly: Geometry, snap: float = SNAP
+) -> np.ndarray:
     """For each edge: 1 inside poly, 0 on boundary, -1 outside (by
     midpoint; on-boundary detected via distance test)."""
     if not edges:
@@ -226,11 +310,51 @@ def _classify(edges: list[tuple[np.ndarray, np.ndarray]], poly: Geometry) -> np.
     res = np.where(points_in_polygon(mids[:, 0], mids[:, 1], poly), 1, -1)
     segs = _poly_segments(poly)
     if segs is not None:
-        res = np.where(_min_boundary_dist(mids, segs) <= SNAP * 10, 0, res)
+        res = np.where(_min_boundary_dist(mids, segs) <= snap * 10, 0, res)
     return res
 
 
-def _stitch(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
+def _cluster_nodes(uniq: np.ndarray, radius: int) -> np.ndarray:
+    """Union-find over (n, 2) int64 grid keys: merge nodes within
+    Chebyshev distance <= radius cells. Returns the canonical index per
+    node (smallest member index of its cluster). Coarse spatial hashing
+    keeps this O(n) for the sparse node sets overlays produce."""
+    n = len(uniq)
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    coarse = uniq // max(radius, 1)
+    buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+    for i in range(n):
+        buckets[(int(coarse[i, 0]), int(coarse[i, 1]))].append(i)
+    for i in range(n):
+        cx, cy = int(coarse[i, 0]), int(coarse[i, 1])
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in buckets.get((cx + dx, cy + dy), ()):
+                    if j <= i:
+                        continue
+                    if (
+                        abs(int(uniq[i, 0]) - int(uniq[j, 0])) <= radius
+                        and abs(int(uniq[i, 1]) - int(uniq[j, 1])) <= radius
+                    ):
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            if ri < rj:
+                                parent[rj] = ri
+                            else:
+                                parent[ri] = rj
+    return np.array([find(i) for i in range(n)])
+
+
+def _stitch(
+    edges: list[tuple[np.ndarray, np.ndarray]], snap: float = SNAP
+) -> list[np.ndarray]:
     """Assemble directed edges into closed rings. At branching vertices
     pick the most counter-clockwise continuation (keeps minimal rings)."""
     # dedupe identical directed edges, then drop anti-parallel pairs
@@ -239,17 +363,32 @@ def _stitch(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
     # one forms a degenerate 2-edge ring in the max-turn walk and
     # consumes an edge a real ring needed.
     # Keys are snapped in ONE numpy pass (per-endpoint _key calls were
-    # ~20% of the union profile).
+    # ~20% of the union profile), then CLUSTERED within the 10*snap
+    # classification tolerance: dropped micro-pieces (e.g. a 1.4*snap
+    # connector between a vertex and a degenerate crossing, classified
+    # as shared boundary and absorbed by the other operand) would
+    # otherwise leave a gap wider than one grid cell and the walk would
+    # discard the whole ring as an open chain.
     if not edges:
         return []
     a_arr = np.array([e[0] for e in edges])
     b_arr = np.array([e[1] for e in edges])
-    ka_all = np.round(a_arr / SNAP).astype(np.int64)
-    kb_all = np.round(b_arr / SNAP).astype(np.int64)
+    ka_all = np.round(a_arr / snap).astype(np.int64)
+    kb_all = np.round(b_arr / snap).astype(np.int64)
+    uniq, inv = np.unique(np.vstack([ka_all, kb_all]), axis=0, return_inverse=True)
+    canon = _cluster_nodes(uniq, radius=10)
+    n_edge = len(edges)
+    ca_idx = canon[inv[:n_edge]]
+    cb_idx = canon[inv[n_edge:]]
     keys = [
-        ((ka_all[i, 0], ka_all[i, 1]), (kb_all[i, 0], kb_all[i, 1]))
-        for i in range(len(edges))
+        ((int(uniq[ca_idx[i], 0]), int(uniq[ca_idx[i], 1])),
+         (int(uniq[cb_idx[i], 0]), int(uniq[cb_idx[i], 1])))
+        for i in range(n_edge)
     ]
+    # degenerate after clustering: both endpoints in one cluster
+    live = [i for i in range(n_edge) if keys[i][0] != keys[i][1]]
+    edges = [edges[i] for i in live]
+    keys = [keys[i] for i in live]
     seen = set(keys)
     kept_idx: list[int] = []
     emitted: set[tuple] = set()
@@ -263,36 +402,111 @@ def _stitch(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
     edge_keys = [keys[i] for i in kept_idx]
     edges = [edges[i] for i in kept_idx]
 
+    # degree repair: in a clean overlay every node has out-degree ==
+    # in-degree (each face boundary passes through). A spurious seam
+    # edge — one operand's boundary hugging the other's corner inside
+    # the tolerance band, kept with no anti-parallel partner — adds
+    # exactly one surplus-out node and one surplus-in node; the
+    # max-turn walk then takes it, dead-ends, and discards a whole
+    # valid ring. Remove the shortest surplus->deficit edge until
+    # balanced (no-op on non-degenerate inputs).
+    while True:
+        outdeg: dict[tuple, int] = defaultdict(int)
+        indeg: dict[tuple, int] = defaultdict(int)
+        for ka, kb in edge_keys:
+            outdeg[ka] += 1
+            indeg[kb] += 1
+        cands = [
+            i
+            for i, (ka, kb) in enumerate(edge_keys)
+            if outdeg[ka] > indeg[ka] and indeg[kb] > outdeg[kb]
+        ]
+        if not cands:
+            break
+        drop = min(
+            cands,
+            key=lambda i: math.hypot(
+                edges[i][1][0] - edges[i][0][0], edges[i][1][1] - edges[i][0][1]
+            ),
+        )
+        del edges[drop]
+        del edge_keys[drop]
+
     out_map: dict[tuple, list[int]] = defaultdict(list)
     for i, (ka, _kb) in enumerate(edge_keys):
         out_map[ka].append(i)
     used = [False] * len(edges)
     rings: list[np.ndarray] = []
+    # Hierholzer-style walk with turn preference: whenever the path
+    # returns to ANY node already on it, that sub-cycle is pinched off
+    # as a ring and the walk continues from the remaining path. A plain
+    # "close only at the start node" walk discards a whole valid ring
+    # when it happens to start on a dangling micro-chain (e.g. the
+    # edges of a sub-tolerance sliver whose connector was absorbed) and
+    # dead-ends after traversing the ring.
     for start in range(len(edges)):
         if used[start]:
             continue
-        path = [edges[start][0]]
-        start_key = edge_keys[start][0]
-        cur = start
         used[start] = True
-        guard = 0
-        while guard < len(edges) + 4:
-            guard += 1
-            a, b = edges[cur]
-            path.append(b)
-            kb = edge_keys[cur][1]
-            if kb == start_key:
-                rings.append(np.array(path))
-                break
-            cands = [i for i in out_map[kb] if not used[i]]
+        stack = [start]
+        nodes = [edge_keys[start][0]]  # nodes[i] = start node of stack[i]
+        node_pos = {nodes[0]: 0}
+        while stack:
+            cur = stack[-1]
+            end_key = edge_keys[cur][1]
+            i0 = node_pos.get(end_key)
+            if i0 is not None:
+                cycle = stack[i0:]
+                ring = [edges[e][0] for e in cycle] + [edges[cycle[-1]][1]]
+                if len(cycle) >= 3:
+                    rings.append(np.array(ring))
+                del stack[i0:]
+                for nk in nodes[i0:]:
+                    node_pos.pop(nk, None)
+                del nodes[i0:]
+                continue
+            cands = [i for i in out_map[end_key] if not used[i]]
             if not cands:
-                break  # open chain: discard
+                # dead end: bridge a tolerance-scale gap. Side-sampling
+                # (offset 100*snap) can absorb a connector piece up to
+                # ~100 cells long, leaving the ring unclosable by exact
+                # key match; jump to the nearest node (within 1.5x that
+                # scale) that is on the path or still has an unused
+                # out-edge. Area error is bounded by gap * perimeter —
+                # the discarded-ring alternative loses the whole face.
+                best_key, best_d = None, 151
+                for nk in node_pos:
+                    dch = max(abs(nk[0] - end_key[0]), abs(nk[1] - end_key[1]))
+                    if 0 < dch < best_d:
+                        best_key, best_d = nk, dch
+                for nk, lst in out_map.items():
+                    if any(not used[i] for i in lst):
+                        dch = max(abs(nk[0] - end_key[0]), abs(nk[1] - end_key[1]))
+                        if 0 < dch < best_d:
+                            best_key, best_d = nk, dch
+                if best_key is None:
+                    break  # genuinely dangling: discard (rings already emitted)
+                if best_key in node_pos and not any(
+                    not used[i] for i in out_map.get(best_key, ())
+                ):
+                    i0 = node_pos[best_key]
+                    cycle = stack[i0:]
+                    ring = [edges[e][0] for e in cycle] + [edges[cycle[-1]][1]]
+                    if len(cycle) >= 3:
+                        rings.append(np.array(ring))
+                    del stack[i0:]
+                    for nk in nodes[i0:]:
+                        node_pos.pop(nk, None)
+                    del nodes[i0:]
+                    continue
+                cands = [i for i in out_map[best_key] if not used[i]]
             if len(cands) == 1:
                 nxt = cands[0]
             else:
                 # rightmost (sharpest clockwise) turn relative to the
                 # incoming direction keeps each simple loop separate at
                 # figure-eight vertices (touching rings stay two rings)
+                a, b = edges[cur]
                 din = b - a
                 ain = math.atan2(din[1], din[0])
 
@@ -307,7 +521,9 @@ def _stitch(edges: list[tuple[np.ndarray, np.ndarray]]) -> list[np.ndarray]:
 
                 nxt = max(cands, key=turn)
             used[nxt] = True
-            cur = nxt
+            node_pos[end_key] = len(stack)
+            nodes.append(end_key)
+            stack.append(nxt)
     return rings
 
 
@@ -351,12 +567,13 @@ def polygon_difference(a: Geometry, b: Geometry) -> Geometry | None:
         return None
     if not pb:
         return a
+    snap = _op_snap([a, b])
     ea = [e for p in pa for e in _poly_edges(p)]
     eb = [e for p in pb for e in _poly_edges(p)]
-    na = _node_edges(ea, [eb])
-    nb = _node_edges(eb, [ea])
-    ca = _classify(na, b)
-    cb = _classify(nb, a)
+    na = _node_edges(ea, [eb], snap)
+    nb = _node_edges(eb, [ea], snap)
+    ca = _classify(na, b, snap)
+    cb = _classify(nb, a, snap)
     keep: list[tuple[np.ndarray, np.ndarray]] = []
     for (p, q), c in zip(na, ca):
         if c == -1:
@@ -375,11 +592,27 @@ def polygon_difference(a: Geometry, b: Geometry) -> Geometry | None:
         if nlen == 0:
             continue
         # left normal of a CCW shell edge points into A's interior
-        off = np.array([-d[1], d[0]]) / nlen * (SNAP * 100)
+        off = np.array([-d[1], d[0]]) / nlen * (snap * 100)
         mid = (p + q) / 2 + off
         if not points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), b)[0]:
             keep.append((p, q))
-    rings = _stitch(keep)
+    # B-edges on A's boundary: the result can be bounded by B's own
+    # boundary inside a sub-tolerance strip (B's edge hugging A's edge
+    # from inside, classified 0 rather than 1). Keep reversed iff B's
+    # RIGHT side (its exterior) lies inside A — that is where A \ B
+    # lives. Exact-shared duplicates collapse in _stitch; tolerance-
+    # zone double-keeps are removed by its degree repair.
+    for i in np.nonzero(cb == 0)[0]:
+        p, q = nb[i]
+        d = q - p
+        nlen = math.hypot(d[0], d[1])
+        if nlen == 0:
+            continue
+        off = np.array([d[1], -d[0]]) / nlen * (snap * 100)
+        mid = (p + q) / 2 + off
+        if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
+            keep.append((q, p))
+    rings = _stitch(keep, snap)
     return _rings_to_polygons(rings, a.dims)
 
 
@@ -387,28 +620,44 @@ def polygon_intersection(a: Geometry, b: Geometry) -> Geometry | None:
     pa, pb = _as_polys(a), _as_polys(b)
     if not pa or not pb:
         return None
+    snap = _op_snap([a, b])
     ea = [e for p in pa for e in _poly_edges(p)]
     eb = [e for p in pb for e in _poly_edges(p)]
-    na = _node_edges(ea, [eb])
-    nb = _node_edges(eb, [ea])
-    ca = _classify(na, b)
-    cb = _classify(nb, a)
+    na = _node_edges(ea, [eb], snap)
+    nb = _node_edges(eb, [ea], snap)
+    ca = _classify(na, b, snap)
+    cb = _classify(nb, a, snap)
     keep = [(p, q) for (p, q), c in zip(na, ca) if c == 1]
     keep += [(p, q) for (p, q), c in zip(nb, cb) if c == 1]
     # co-directed shared edges count once
-    seen = {(_key(p), _key(q)) for p, q in keep}
+    seen = {(_key(p, snap), _key(q, snap)) for p, q in keep}
     for (p, q), c in zip(na, ca):
-        if c == 0 and (_key(p), _key(q)) not in seen:
+        if c == 0 and (_key(p, snap), _key(q, snap)) not in seen:
             d = q - p
             nlen = math.hypot(d[0], d[1])
             if nlen == 0:
                 continue
-            off = np.array([-d[1], d[0]]) / nlen * (SNAP * 100)
+            off = np.array([-d[1], d[0]]) / nlen * (snap * 100)
             mid = (p + q) / 2 + off
             if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), b)[0]:
                 keep.append((p, q))
-                seen.add((_key(p), _key(q)))
-    rings = _stitch(keep)
+                seen.add((_key(p, snap), _key(q, snap)))
+    # B-edges on A's boundary bounding a sub-tolerance strip of A ∩ B:
+    # keep as-is iff B's interior side (left) lies inside A. Mirrors
+    # the B-side rule in polygon_difference; duplicates cleaned by
+    # _stitch (key dedupe + degree repair).
+    for (p, q), c in zip(nb, cb):
+        if c == 0 and (_key(p, snap), _key(q, snap)) not in seen:
+            d = q - p
+            nlen = math.hypot(d[0], d[1])
+            if nlen == 0:
+                continue
+            off = np.array([-d[1], d[0]]) / nlen * (snap * 100)
+            mid = (p + q) / 2 + off
+            if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
+                keep.append((p, q))
+                seen.add((_key(p, snap), _key(q, snap)))
+    rings = _stitch(keep, snap)
     return _rings_to_polygons(rings, a.dims)
 
 
@@ -421,6 +670,7 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
         return None
     if len(flat) == 1:
         return flat[0]
+    snap = _op_snap(flat)
     per_poly_edges = [_poly_edges(p) for p in flat]
     # bbox prefilter (exact): a polygon whose bbox is disjoint from
     # polygon i's bbox can neither cut i's edges nor contain any of
@@ -434,20 +684,18 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
 
     def _bbox_overlap(a, b):
         # expanded by the shared-boundary tolerance: polygons whose
-        # bboxes are disjoint by less than SNAP*10 can still have
+        # bboxes are disjoint by less than snap*10 can still have
         # near-coincident edges that _classify must see as on-boundary
-        eps = SNAP * 10
+        eps = snap * 10
         return not (
             a[2] < b[0] - eps or b[2] < a[0] - eps or a[3] < b[1] - eps or b[3] < a[1] - eps
         )
 
     keep: list[tuple[np.ndarray, np.ndarray]] = []
-    directed_count: dict[tuple, int] = defaultdict(int)
-    candidates: list[tuple[np.ndarray, np.ndarray]] = []
     seg_cache = [None] * len(flat)
     for i, p in enumerate(flat):
         near = [j for j in range(len(flat)) if j != i and _bbox_overlap(boxes[i], boxes[j])]
-        noded = _node_edges(per_poly_edges[i], [per_poly_edges[j] for j in near])
+        noded = _node_edges(per_poly_edges[i], [per_poly_edges[j] for j in near], snap)
         inside_any = np.zeros(len(noded), dtype=bool)
         onb_any = np.zeros(len(noded), dtype=bool)
         if near and noded:
@@ -463,33 +711,48 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
                     seg_cache[j] = s if s is not None else False
                 segs = seg_cache[j]
                 if segs is not False:
-                    onb_j = _min_boundary_dist(mids, segs) <= SNAP * 10
+                    onb_j = _min_boundary_dist(mids, segs) <= snap * 10
                 else:
                     onb_j = np.zeros(len(noded), dtype=bool)
                 in_j = points_in_polygon(mids[:, 0], mids[:, 1], flat[j]) & ~onb_j
                 inside_any |= in_j
                 onb_any |= onb_j
+        # shared/near-shared boundary edges: keep iff the RIGHT side
+        # (this polygon's own exterior — interior is left of a CCW
+        # shell / normalized hole edge) is not covered by any other
+        # polygon. Side-sampling cancels anti-directed near-shared
+        # CHAINS even when the two sides were noded at different cut
+        # points (edge-level key matching cannot pair those); exact
+        # co-directed duplicates both survive and collapse via
+        # _stitch's directed-key dedupe, near-identical ones via its
+        # degree repair. Offset 100*snap is decisive: onb edges sit
+        # within 10*snap of the other boundary.
+        onb_keep = onb_any & ~inside_any
+        if onb_keep.any():
+            onb_idx = np.nonzero(onb_keep)[0]
+            spts = []
+            sidx = []
+            for k in onb_idx:
+                p1, p2 = noded[k]
+                d = p2 - p1
+                nl = math.hypot(d[0], d[1])
+                if nl == 0:
+                    continue
+                off = np.array([d[1], -d[0]]) / nl * (snap * 100)
+                spts.append((p1 + p2) / 2 + off)
+                sidx.append(k)
+            if spts:
+                sarr = np.array(spts)
+                covered = np.zeros(len(sarr), dtype=bool)
+                for j in near:
+                    covered |= points_in_polygon(sarr[:, 0], sarr[:, 1], flat[j])
+                for k, cov in zip(sidx, covered):
+                    if not cov:
+                        keep.append(noded[k])
         for k, (p1, p2) in enumerate(noded):
-            if inside_any[k]:
-                continue
-            if onb_any[k]:
-                candidates.append((p1, p2))
-                directed_count[(_key(p1), _key(p2))] += 1
-            else:
+            if not inside_any[k] and not onb_any[k]:
                 keep.append((p1, p2))
-    # shared-boundary edges: anti-directed pairs cancel (interior on
-    # both sides); co-directed duplicates collapse to one
-    emitted = set()
-    for p1, p2 in candidates:
-        k = (_key(p1), _key(p2))
-        rk = (k[1], k[0])
-        if directed_count.get(rk, 0) > 0:
-            continue  # cancelled by the reverse edge
-        if k in emitted:
-            continue
-        emitted.add(k)
-        keep.append((p1, p2))
-    rings = _stitch(keep)
+    rings = _stitch(keep, snap)
     return _rings_to_polygons(rings, flat[0].dims)
 
 

@@ -292,3 +292,61 @@ def test_dissolve_fallback_tolerates_none_elements():
     # fallback (triggered here by a duplicate piece) must filter them too
     g = _dp([box(0, 0, 2, 2), box(0, 0, 2, 2), None])
     assert polygon_area(g) == pytest.approx(4.0)
+
+
+# -- shared-boundary / near-coincidence regression corpus (round 5) ---------
+# Adjacent-parcel shapes: shared vertices plus vertices exactly on or
+# ulps-to-1e-7 off the neighbour's edge. Every case below was a REAL
+# falsified input (r04 VERDICT counterexample + this round's Hypothesis
+# finds): the noding either produced no cut (collinear overlap with
+# ulp-level cross products) or dropped a connector piece and the whole
+# face vanished from BOTH intersection and difference. Reference
+# behavior: GEOS never drops the subject (_difference.py:171-181).
+SHARED_BOUNDARY_CASES = [
+    # (A, B) vertex lists; identity |A ∩ B| + |A \ B| == |A| must hold
+    # r04 VERDICT pinned counterexample: B's edge collinear-contained
+    # in A's long edge (both slope exactly 2 through (12.1, 5.3))
+    ([(10, 0), (24.8, 30.7), (12.1, 5.3)],
+     [(10, 0), (23, 11), (24.6, 30.3), (12.1, 5.3)]),
+    # chord-split parcels, chord endpoints perturbed by 1e-9
+    ([(6, 0), (7, 5), (0, 4)],
+     [(1e-09, 4), (0, 0), (6, 1e-09)]),
+    ([(0, 0), (6, 0), (7, 5)],
+     [(6.999999999, 5), (0, 4), (0, -1e-09)]),
+    # near-parallel chords 1e-7 apart (outside the snap tolerance)
+    ([(0.1, 0), (0.1, 0.1), (0, 0.5)],
+     [(1e-07, 0.5), (0, 0), (0.1, 1e-07)]),
+    ([(0, 0), (0.1, 0), (1, 0.1)],
+     [(1.0000001, 0.1), (0, 0.2), (0, 1e-07)]),
+    ([(0.1, 0), (1, 0.1), (0, 0.5)],
+     [(1e-07, 0.5), (0, 0), (0.1, 1e-07)]),
+    # micro-slivers at 1e-9 (the snap scale itself)
+    ([(0.1, 0), (0.1, 0.1), (0, 0.5)],
+     [(1e-09, 0.5), (0, 0), (0.1, 1e-09)]),
+]
+
+
+@pytest.mark.parametrize("ab", SHARED_BOUNDARY_CASES, ids=range(len(SHARED_BOUNDARY_CASES)))
+def test_shared_boundary_identities(ab):
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.overlay import (
+        polygon_difference,
+        polygon_intersection,
+        polygon_union,
+    )
+
+    a = polygon(ab[0])
+    b = polygon(ab[1])
+
+    def area(g):
+        return 0.0 if g is None else polygon_area(g)
+
+    aa, abb = polygon_area(a), polygon_area(b)
+    inter = area(polygon_intersection(a, b))
+    # the subject never vanishes: |A \ B| + |A ∩ B| = |A| (both ways)
+    assert abs(area(polygon_difference(a, b)) + inter - aa) < 1e-4 * max(aa, 1.0)
+    assert abs(area(polygon_difference(b, a)) + inter - abb) < 1e-4 * max(abb, 1.0)
+    # union inclusion-exclusion
+    u = area(polygon_union([a, b]))
+    assert abs(u - (aa + abb - inter)) < 1e-4 * max(aa + abb, 1.0)

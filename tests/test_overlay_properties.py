@@ -2,6 +2,8 @@
 union/intersection/difference over random axis-aligned and convex
 inputs — the robustness net under the golden tests."""
 
+import os
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -13,6 +15,17 @@ from pygeoops_spark.geom.overlay import (
     polygon_intersection,
     polygon_union,
 )
+
+# OVERLAY_SOAK=1000 pytest tests/test_overlay_properties.py — raise every
+# sweep to >= that many fresh-seed examples (the round-5 hardening
+# protocol after the near-collinear noding fix). Default keeps the suite
+# fast.
+_SOAK = int(os.environ.get("OVERLAY_SOAK", "0"))
+
+
+def _n(base: int) -> int:
+    return max(base, _SOAK)
+
 
 coords = st.integers(min_value=0, max_value=40)
 
@@ -38,7 +51,7 @@ def _rect_intersection_area(a, b) -> float:
     return max(w, 0.0) * max(h, 0.0)
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_n(120), deadline=None)
 @given(boxes(), boxes())
 def test_intersection_area_matches_rect_formula(a, b):
     expected = _rect_intersection_area(a, b)
@@ -46,7 +59,7 @@ def test_intersection_area_matches_rect_formula(a, b):
     assert abs(got - expected) < 1e-9
 
 
-@settings(max_examples=120, deadline=None)
+@settings(max_examples=_n(120), deadline=None)
 @given(boxes(), boxes())
 def test_difference_area_identity(a, b):
     # |A \ B| = |A| - |A ∩ B|
@@ -55,7 +68,7 @@ def test_difference_area_identity(a, b):
     assert abs(got - expected) < 1e-9
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=_n(80), deadline=None)
 @given(st.lists(boxes(), min_size=2, max_size=5))
 def test_union_inclusion_exclusion_bounds(parts):
     u = polygon_union(parts)
@@ -66,7 +79,7 @@ def test_union_inclusion_exclusion_bounds(parts):
     assert got >= biggest - 1e-9
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=_n(80), deadline=None)
 @given(boxes(), boxes())
 def test_union_pair_inclusion_exclusion_exact(a, b):
     # |A ∪ B| = |A| + |B| - |A ∩ B| for two rectangles
@@ -75,7 +88,7 @@ def test_union_pair_inclusion_exclusion_exact(a, b):
     assert abs(got - expected) < 1e-9
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_n(60), deadline=None)
 @given(boxes(), boxes(), boxes())
 def test_difference_then_union_disjoint(a, b, c):
     # (A \ B) must not intersect B
@@ -109,7 +122,7 @@ def convex_polys(draw):
     return polygon(hull)
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_n(100), deadline=None)
 @given(convex_polys(), convex_polys())
 def test_convex_difference_intersection_identity(a, b):
     # |A \ B| + |A ∩ B| = |A| — ties the difference and intersection
@@ -119,7 +132,7 @@ def test_convex_difference_intersection_identity(a, b):
     assert abs((diff + inter) - polygon_area(a)) < 1e-6
 
 
-@settings(max_examples=100, deadline=None)
+@settings(max_examples=_n(100), deadline=None)
 @given(convex_polys(), convex_polys())
 def test_convex_union_inclusion_exclusion(a, b):
     inter = _area(polygon_intersection(a, b))
@@ -148,7 +161,7 @@ def grid_partitions(draw):
     return tiles
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_n(60), deadline=None)
 @given(grid_partitions())
 def test_dissolve_grid_partition_reassembles_rectangle(tiles):
     from pygeoops_spark.geom.overlay import dissolve_partition
@@ -159,7 +172,7 @@ def test_dissolve_grid_partition_reassembles_rectangle(tiles):
     assert len(g.data) == 1  # no holes
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=_n(40), deadline=None)
 @given(grid_partitions(), st.lists(boxes(), min_size=1, max_size=4))
 def test_dissolve_matches_union_after_tile_differences(tiles, subs):
     """Difference each tile against shared subtrahends, then dissolve:
@@ -209,7 +222,7 @@ def l_shapes(draw):
     )
 
 
-@settings(max_examples=80, deadline=None)
+@settings(max_examples=_n(80), deadline=None)
 @given(l_shapes(), l_shapes())
 def test_union_concave_inclusion_exclusion(a, b):
     u = polygon_union([a, b])
@@ -217,7 +230,7 @@ def test_union_concave_inclusion_exclusion(a, b):
     assert _area(u) == pytest_approx(_area(a) + _area(b) - _area(i))
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_n(60), deadline=None)
 @given(l_shapes(), boxes(), boxes())
 def test_union_concave_triple_monotone(a, b, c):
     # union area is monotone and bounded by the sum
@@ -227,7 +240,7 @@ def test_union_concave_triple_monotone(a, b, c):
     assert _area(u3) <= _area(a) + _area(b) + _area(c) + 1e-9
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=_n(60), deadline=None)
 @given(boxes(), st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=6))
 def test_union_with_holed_polygon(outer, hx, hy):
     # a polygon with a hole unioned with a box that plugs part of it
@@ -248,3 +261,87 @@ def test_union_with_holed_polygon(outer, hx, hy):
     plug = polygon(hole)
     u = polygon_union([holed, plug])
     assert _area(u) == pytest_approx(w * h)
+
+
+# -- adjacent parcels: shared / near-shared boundaries ----------------------
+@st.composite
+def parcel_pairs(draw):
+    """Two polygons sharing a boundary, as adjacent cadastral parcels do:
+    a convex polygon chord-split into two pieces, with the second
+    piece's chord vertices optionally perturbed by eps in
+    {0, 1e-12, 1e-9, 1e-7} — spanning exactly-shared through
+    near-coincident vertex-on-edge inputs (the class that used to make
+    the noding drop whole faces; reference relies on GEOS here,
+    _difference.py:171-181)."""
+    from pygeoops_spark.geom.kernels import convex_hull_coords
+
+    n = draw(st.integers(min_value=5, max_value=9))
+    pts = np.array(
+        [
+            (draw(st.integers(0, 30)) + draw(st.integers(0, 9)) / 10.0,
+             draw(st.integers(0, 30)) + draw(st.integers(0, 9)) / 10.0)
+            for _ in range(n)
+        ]
+    )
+    hull = convex_hull_coords(pts)
+    if len(hull) < 5:
+        x, y = pts[0]
+        hull = np.array([(x, y), (x + 6, y), (x + 7, y + 5), (x, y + 4), (x, y)])
+    ring = hull[:-1]
+    m = len(ring)
+    i = draw(st.integers(0, m - 1))
+    j = (i + draw(st.integers(2, m - 2))) % m
+    i, j = min(i, j), max(i, j)
+    if j - i < 2 or (i == 0 and j == m - 1):
+        j = (i + 2) % m
+        i, j = min(i, j), max(i, j)
+    side1 = list(ring[i : j + 1])
+    side2 = list(ring[j:]) + list(ring[: i + 1])
+    if len(side1) < 3 or len(side2) < 3:
+        return None
+    eps = draw(st.sampled_from([0.0, 1e-12, 1e-9, 1e-7]))
+    sgn = draw(st.sampled_from([-1.0, 1.0]))
+    side2 = [np.asarray(p, dtype=float).copy() for p in side2]
+    # perturb the chord endpoints as seen by parcel B only
+    side2[0] = side2[0] + np.array([sgn * eps, 0.0])
+    side2[-1] = side2[-1] + np.array([0.0, sgn * eps])
+    pa = polygon(np.vstack([side1, side1[0]]))
+    pb = polygon(np.vstack([side2, side2[0]]))
+    return (pa, pb, polygon(np.vstack([ring, ring[0]])), eps)
+
+
+@settings(max_examples=_n(150), deadline=None)
+@given(parcel_pairs())
+def test_adjacent_parcels_identities(t):
+    if t is None:
+        return
+    a, b, whole, eps = t
+    aa, ab = polygon_area(a), polygon_area(b)
+    if aa < 1e-6 or ab < 1e-6:
+        return
+    tol = 1e-6 + eps * 500  # perturbation sweeps area ~ eps * perimeter
+    inter = _area(polygon_intersection(a, b))
+    assert inter < tol  # interiors disjoint up to the perturbation
+    # neither parcel loses area when differenced against its neighbour
+    assert abs(_area(polygon_difference(a, b)) - aa) < tol
+    assert abs(_area(polygon_difference(b, a)) - ab) < tol
+    # and the union reassembles the original polygon
+    assert abs(_area(polygon_union([a, b])) - polygon_area(whole)) < tol
+
+
+@settings(max_examples=_n(150), deadline=None)
+@given(parcel_pairs(), boxes())
+def test_parcel_difference_box_identity(t, c):
+    """|P \\ C| + |P ∩ C| == |P| must hold for each parcel even when its
+    sibling's near-coincident boundary is also in play (3-way noding via
+    the union of subtrahends, like difference_all does)."""
+    if t is None:
+        return
+    a, b, _whole, eps = t
+    for p in (a, b):
+        ap = polygon_area(p)
+        if ap < 1e-6:
+            continue
+        inter = _area(polygon_intersection(p, c))
+        diff = _area(polygon_difference(p, c))
+        assert abs((diff + inter) - ap) < 1e-6
