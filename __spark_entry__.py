@@ -200,18 +200,62 @@ def _q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pip_join_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same join through the general polygon kernel path (WKB + PIP
+    """Variant union.
+
+    v1 — planar join through the general polygon kernel path (WKB + PIP
     pandas UDF). Rect zones are open-boundary under crossing-number;
     derived points never sit exactly on zone edges (3-decimal coords vs
     integer edges with .0 offsets... boundary hits excluded by the
-    oracle's strict inequalities)."""
+    oracle's strict inequalities).
+
+    v2 — GEOGRAPHIC PIP join (join/geo_knn.py:geo_pip_join): 4000
+    lon/lat points against 21 convex diamond zones in UNWRAPPED
+    coordinates, including one date-line zone (lon 170.6..190). Convex
+    zones make the crossing-number test pure sign arithmetic, so the
+    DuckDB oracle is the L1 diamond inequality |dx/w| + |dy/h| < 1
+    evaluated in the zone's unwrapped frame (same pmod shift as the
+    operator). Measured min |L1 - 1| margin 2.5e-4 — no boundary
+    ambiguity."""
     from pygeoops_spark.corpus.pages import order_points
     from pygeoops_spark.join.pip import pip_join_polygons
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.join.geo_knn import geo_pip_join
 
     zones = _zones_wkb_df(spark).select("zone_id", "xmin", "ymin", "xmax", "ymax", "zone_wkb")
-    return pip_join_polygons(order_points(spark, sf_dir), zones, level=5).select(
-        "o_orderkey", "zone_id"
+    v1 = pip_join_polygons(order_points(spark, sf_dir), zones, level=5).select(
+        F.lit(1).alias("variant"),
+        F.col("o_orderkey").alias("pid"),
+        "zone_id",
     )
+
+    zones_rows = []
+    for jz in range(21):
+        if jz == 20:
+            c, l, w, h = 180.3, 10.4, 9.7, 23.6  # date-line zone
+        else:
+            c = jz * 18 - 171 + 0.3
+            l = (jz * 31 % 120) - 60 + 0.4
+            w = 6.0 + (jz % 5)
+            h = 10.0 + (jz * 7 % 20)
+        ring = [(c - w, l), (c, l - h), (c + w, l), (c, l + h)]
+        zones_rows.append(
+            (jz, float(c - w), float(l - h), float(c + w), float(l + h),
+             bytearray(wkb_dumps(mk_poly(ring))))
+        )
+    geo_zones = spark.createDataFrame(
+        zones_rows,
+        "zone_id long, lonmin double, latmin double, lonmax double, latmax double, zone_wkb binary",
+    )
+    i = F.col("id")
+    gpts = spark.range(4000).select(
+        i.alias("pid"),
+        ((i * 37 % 360 - 180).cast("double") + i.cast("double") / F.lit(4001.0)).alias("lon"),
+        ((i * 23 % 160 - 80).cast("double") + i.cast("double") / F.lit(8002.0)).alias("lat"),
+    )
+    v2 = geo_pip_join(gpts, geo_zones, level=3).select(
+        F.lit(2).alias("variant"), "pid", "zone_id"
+    )
+    return v1.unionByName(v2)
 
 
 def _q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,9 +506,19 @@ def _q_simplify_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """difference_all kernel: each zone minus two 20x20 boxes strictly
-    inside it -> polygon with 2 holes. Oracle: pure arithmetic (area =
-    w*h - 800, 3 rings)."""
+    """difference_all kernel, two variants per zone.
+
+    v1 — zone minus two 20x20 boxes strictly inside it -> polygon with
+    2 holes; oracle: area = w*h - 800, 3 rings.
+    v2 — ADVERSARIAL shared-boundary inputs (the class GEOS survives
+    natively, reference _difference.py:171-181, and our kernel dropped
+    before round 5): zone minus [a 20-wide strip sharing the zone's
+    full LEFT edge (exactly coincident partial boundary), a triangle
+    sharing a segment of the BOTTOM edge whose apex sits 1e-9 inside
+    the RIGHT edge (near-coincident vertex-on-edge)]. Oracle: exact
+    arithmetic — area = w*h - 20*h - 600 (the 1e-9 sliver is ~1.5e-8,
+    far below the 6-decimal rounding), 1 ring.
+    """
     from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
     from pygeoops_spark.geom.difference import difference_all
     from pygeoops_spark.geom.wkb import wkb_loads
@@ -486,14 +540,43 @@ def _q_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(wkb_dumps(r) if r is not None else None)
         return pd.Series(out)
 
+    @F.pandas_udf(BinaryType())
+    def diff_shared_ud(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        out = []
+        for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax):
+            zone = mk_poly([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+            subs = [
+                # strip sharing the zone's full left edge + both corners
+                mk_poly([(x0, y0), (x0 + 20, y0), (x0 + 20, y1), (x0, y1)]),
+                # triangle sharing a bottom-edge segment; apex 1e-9
+                # INSIDE the right edge (near-coincident vertex-on-edge)
+                mk_poly([(x1 - 40, y0), (x1, y0), (x1 - 1e-9, y0 + 30)]),
+            ]
+            r = difference_all(zone, subs)
+            out.append(wkb_dumps(r) if r is not None else None)
+        return pd.Series(out)
+
     from pygeoops_spark.operators.difference import area_col, num_rings_col
 
-    res = zones.withColumn("_res", diff_ud("xmin", "ymin", "xmax", "ymax"))
-    return res.select(
-        "zone_id",
-        F.round(area_col("_res"), 6).alias("area"),
-        num_rings_col("_res").alias("n_rings"),
+    v1 = (
+        zones.withColumn("_res", diff_ud("xmin", "ymin", "xmax", "ymax"))
+        .select(
+            "zone_id",
+            F.lit(1).alias("variant"),
+            F.round(area_col("_res"), 6).alias("area"),
+            num_rings_col("_res").alias("n_rings"),
+        )
     )
+    v2 = (
+        zones.withColumn("_res", diff_shared_ud("xmin", "ymin", "xmax", "ymax"))
+        .select(
+            "zone_id",
+            F.lit(2).alias("variant"),
+            F.round(area_col("_res"), 6).alias("area"),
+            num_rings_col("_res").alias("n_rings"),
+        )
+    )
+    return v1.unionByName(v2)
 
 
 def _q_subdivide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1153,12 +1236,29 @@ def _q_geodesic_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, targets, "pid", "tid", k=3, level=2, radius=1,
         guarantee_exact=True,
     )
-    return out.select(
-        "pid",
-        F.col("tid_nn").alias("nn_id"),
-        "knn_rank",
-        F.round(F.col("dist_m") / 1e7, 9).alias("dist_e7"),
+    # variant 2 drives the SPHEROID branch (bound shrink + Karney
+    # kernel re-rank, geo_knn.py) at f=0: it must reproduce the sphere
+    # ranking and distances exactly, so the same brute-force oracle
+    # applies. Measured margins: ranking gap >= 4.7 km; |dist delta|
+    # between the two paths <= 1.2e-8 m vs a >= 2.4e-6 m gap to the
+    # nearest round-9 boundary (200x headroom).
+    from pygeoops_spark.geom.geodesic import WGS84_A
+
+    out_sph = geodesic_knn_join(
+        probes, targets, "pid", "tid", k=3, level=2, radius=1,
+        guarantee_exact=True, spheroid=True, a=WGS84_A, f=0.0,
     )
+
+    def _shape(df: DataFrame, variant: int) -> DataFrame:
+        return df.select(
+            "pid",
+            F.lit(variant).alias("variant"),
+            F.col("tid_nn").alias("nn_id"),
+            "knn_rank",
+            F.round(F.col("dist_m") / 1e7, 9).alias("dist_e7"),
+        )
+
+    return _shape(out, 1).unionByName(_shape(out_sph, 2))
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1536,12 +1636,37 @@ def oracle_sql() -> dict[str, str]:
               ON p.x >= z.xmin AND p.x <= z.xmax AND p.y >= z.ymin AND p.y <= z.ymax
         """,
         "pip_join_poly": f"""
-            -- crossing-number semantics on an axis-aligned rectangle are
-            -- half-open: [xmin, xmax) x [ymin, ymax)
+            -- v1: crossing-number semantics on an axis-aligned rectangle
+            -- are half-open: [xmin, xmax) x [ymin, ymax)
             WITH {ZONES_CTE.strip()}, {ORDER_PTS_CTE.strip()}
-            SELECT p.o_orderkey, z.zone_id
+            SELECT 1 AS variant, p.o_orderkey AS pid, z.zone_id
             FROM pts p JOIN zones z
               ON p.x >= z.xmin AND p.x < z.xmax AND p.y >= z.ymin AND p.y < z.ymax
+            UNION ALL
+            -- v2: geographic PIP against convex diamond zones (incl. a
+            -- date-line zone, unwrapped lon frame): pure sign
+            -- arithmetic |dx/w| + |dy/h| < 1 after the pmod shift
+            SELECT 2 AS variant, p.pid, z.zone_id
+            FROM (
+              SELECT i AS pid,
+                     CAST((i * 37) % 360 - 180 AS DOUBLE) + CAST(i AS DOUBLE) / 4001 AS lon,
+                     CAST((i * 23) % 160 - 80 AS DOUBLE) + CAST(i AS DOUBLE) / 8002 AS lat
+              FROM range(4000) t(i)
+            ) p
+            JOIN (
+              SELECT j AS zone_id,
+                     CASE WHEN j = 20 THEN CAST(1803 AS DOUBLE) / 10
+                          ELSE CAST(j * 18 - 171 AS DOUBLE) + CAST(3 AS DOUBLE) / 10 END AS c,
+                     CASE WHEN j = 20 THEN CAST(104 AS DOUBLE) / 10
+                          ELSE CAST((j * 31) % 120 - 60 AS DOUBLE) + CAST(4 AS DOUBLE) / 10 END AS l,
+                     CASE WHEN j = 20 THEN CAST(97 AS DOUBLE) / 10
+                          ELSE CAST(6 + (j % 5) AS DOUBLE) END AS w,
+                     CASE WHEN j = 20 THEN CAST(236 AS DOUBLE) / 10
+                          ELSE CAST(10 + (j * 7) % 20 AS DOUBLE) END AS h
+              FROM range(21) t(j)
+            ) z
+              ON abs(((z.c - z.w) + (((p.lon - (z.c - z.w)) % 360 + 360) % 360) - z.c) / z.w)
+                 + abs((p.lat - z.l) / z.h) < CAST(1 AS DOUBLE)
         """,
         "bbox_join": f"""
             WITH {ZONES_CTE.strip()}, {ZONES32_CTE.strip()}
@@ -1669,9 +1794,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "difference": f"""
             WITH {ZONES_CTE.strip()}
-            SELECT zone_id,
+            SELECT zone_id, 1 AS variant,
                    round((xmax - xmin) * (ymax - ymin) - CAST(800 AS DOUBLE), 6) AS area,
                    3 AS n_rings
+            FROM zones
+            UNION ALL
+            -- shared-boundary variant: left strip (20 * h) + bottom
+            -- triangle (600); the 1e-9 apex sliver rounds away at 6
+            -- decimals
+            SELECT zone_id, 2 AS variant,
+                   round((xmax - xmin) * (ymax - ymin)
+                         - CAST(20 AS DOUBLE) * (ymax - ymin)
+                         - CAST(600 AS DOUBLE), 6) AS area,
+                   1 AS n_rings
             FROM zones
         """,
         "subdivide": """
@@ -2001,9 +2136,10 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY pid ORDER BY dist_m ASC, tid ASC) AS knn_rank
               FROM d
             )
-            SELECT pid, tid AS nn_id, CAST(knn_rank AS INT) AS knn_rank,
+            SELECT pid, v.variant, tid AS nn_id, CAST(knn_rank AS INT) AS knn_rank,
                    round(dist_m / CAST(1e7 AS DOUBLE), 9) AS dist_e7
-            FROM r WHERE knn_rank <= 3
+            FROM r CROSS JOIN (SELECT 1 AS variant UNION ALL SELECT 2) v
+            WHERE knn_rank <= 3
         """,
         "geodesic_destination": """
             -- variant 1: eastward equatorial closed form (the equator
