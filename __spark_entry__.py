@@ -908,23 +908,32 @@ def _q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (i % 50).cast("string")
     url = (
         F.when(
-            i % 3 == 0,
+            i % 4 == 0,
             F.concat(
                 F.lit("https://Site"), s, F.lit(".Example:443/p/"),
                 i.cast("string"), F.lit("?q=1"),
             ),
         )
         .when(
-            i % 3 == 1,
+            i % 4 == 1,
             F.concat(
                 F.lit("http://site"), s, F.lit(".example/p/"),
                 (i % 20).cast("string"), F.lit("#frag"),
             ),
         )
-        .otherwise(
+        .when(
+            i % 4 == 2,
             F.concat(
                 F.lit("https://user@site"), s, F.lit(".example/a/b/"),
                 i.cast("string"),
+            ),
+        )
+        .otherwise(
+            # redirect param embedding an absolute URL + '//' in the
+            # path: host must stay site{s}.example (first-'//' anchor)
+            F.concat(
+                F.lit("https://site"), s, F.lit(".example/r//go?u=https://dest"),
+                s, F.lit(".example/x"),
             )
         )
     )
@@ -1886,25 +1895,36 @@ def oracle_sql() -> dict[str, str]:
             -- and the next '/', userinfo and port stripped, lowered
             WITH u AS (
               SELECT i,
-                     CASE CAST(i % 3 AS INT)
+                     CASE CAST(i % 4 AS INT)
                        WHEN 0 THEN 'https://Site' || CAST(i % 50 AS VARCHAR)
                             || '.Example:443/p/' || CAST(i AS VARCHAR) || '?q=1'
                        WHEN 1 THEN 'http://site' || CAST(i % 50 AS VARCHAR)
                             || '.example/p/' || CAST(i % 20 AS VARCHAR) || '#frag'
-                       ELSE 'https://user@site' || CAST(i % 50 AS VARCHAR)
+                       WHEN 2 THEN 'https://user@site' || CAST(i % 50 AS VARCHAR)
                             || '.example/a/b/' || CAST(i AS VARCHAR)
+                       ELSE 'https://site' || CAST(i % 50 AS VARCHAR)
+                            || '.example/r//go?u=https://dest' || CAST(i % 50 AS VARCHAR)
+                            || '.example/x'
                      END AS url,
                      'text ' || CAST(i % 7 AS VARCHAR) AS text
               FROM range(4000) t(i)
             ), parts AS (
+              -- mirror the engine structurally: text after the FIRST
+              -- '//' (input unchanged when absent), then authority
+              -- from the query/fragment-stripped string
               SELECT i, url, text,
-                     split_part(url, '//', 2) AS rest
+                     CASE WHEN strpos(url, '//') > 0
+                          THEN substr(url, strpos(url, '//') + 2)
+                          ELSE url END AS rest
               FROM u
             ), auth AS (
               SELECT i, url, text, rest,
-                     split_part(rest, '/', 1) AS authority,
                      split_part(split_part(rest, '#', 1), '?', 1) AS no_fq
               FROM parts
+            ), auth2 AS (
+              SELECT i, url, text, rest, no_fq,
+                     split_part(no_fq, '/', 1) AS authority
+              FROM auth
             ), hosts AS (
               SELECT i, text,
                      lower(split_part(
@@ -1912,7 +1932,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN split_part(authority, '@', 2)
                             ELSE authority END, ':', 1)) AS host,
                      substr(no_fq, length(authority) + 1) AS path
-              FROM auth
+              FROM auth2
             ), depths AS (
               SELECT i, text, host,
                      CAST(len(list_filter(string_split(path, '/'),

@@ -190,7 +190,11 @@ def make_valid(
     if t == GEOMETRYCOLLECTION:
         parts = []
         for p in get_parts(geom):
-            r = make_valid(p, keep_collapsed)
+            # only_if_invalid propagates: an already-valid part inside
+            # a collection takes the reference's fast path untouched
+            # (_general.py:446-458) instead of a full arrangement
+            # repair that may reorder its sub-parts by area
+            r = make_valid(p, keep_collapsed, only_if_invalid)
             if r is not None:
                 parts.append(r)
         if not parts:

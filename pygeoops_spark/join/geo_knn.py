@@ -143,7 +143,14 @@ def geo_cover_cells_bbox(
     ix0 = geo_cell_ix(lonmin, level)
     ix1 = geo_cell_ix(lonmax, level)
     full = (lonmax - lonmin) >= F.lit(360.0)
-    nx = F.when(full, F.lit(nlon - 1)).otherwise(F.pmod(ix1 - ix0, F.lit(nlon)))
+    # a date-line-wrapped box whose span exceeds 360 - cell_width can
+    # land both endpoints in the SAME column: pmod(ix1 - ix0) = 0 would
+    # emit a single column though the box covers every one. Wrapped +
+    # same-cell implies span > 360 - cell_width, so cover fully.
+    wrapped_full = (lonmax < lonmin) & (F.pmod(ix1 - ix0, F.lit(nlon)) == 0)
+    nx = F.when(full | wrapped_full, F.lit(nlon - 1)).otherwise(
+        F.pmod(ix1 - ix0, F.lit(nlon))
+    )
     iy0 = geo_cell_iy(latmin, level)
     iy1 = geo_cell_iy(latmax, level)
     return F.flatten(

@@ -23,13 +23,31 @@ def _as_col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+def _after_scheme(url: Column) -> Column:
+    """Text after the FIRST '//' (the scheme separator); the input
+    unchanged when there is no '//'.  Anchoring on the first occurrence
+    matters for real crawl URLs with '//' later in the path or query
+    (protocol-relative / absolute URLs embedded in redirect params,
+    e.g. 'https://a.com/r?u=https://b.com')."""
+    pos = F.instr(url, "//")
+    return F.when(
+        pos > 0, F.substring(url, pos + F.lit(2), F.lit(1 << 20))
+    ).otherwise(url)
+
+
+def _no_query_fragment(after_scheme: Column) -> Column:
+    return F.substring_index(F.substring_index(after_scheme, "#", 1), "?", 1)
+
+
 def url_host(url: Column | str) -> Column:
     """Canonical host: the authority part lowercased, with userinfo
-    (``user@``) and port (``:443``) stripped.  Pure substring_index
+    (``user@``, WHATWG last-'@' rule) and port (``:443``) stripped.
+    Authority is taken from the query/fragment-stripped string so bare
+    hosts like 'https://h?q=1' resolve to 'h'.  Pure substring_index
     chains — no regex."""
     url = _as_col(url)
-    after_scheme = F.substring_index(url, "//", -1)
-    authority = F.substring_index(after_scheme, "/", 1)
+    no_fq = _no_query_fragment(_after_scheme(url))
+    authority = F.substring_index(no_fq, "/", 1)
     no_user = F.substring_index(authority, "@", -1)
     no_port = F.substring_index(no_user, ":", 1)
     return F.lower(no_port)
@@ -39,11 +57,9 @@ def url_path(url: Column | str) -> Column:
     """Path component ('' for bare hosts): everything from the first
     '/' after the authority, query/fragment stripped."""
     url = _as_col(url)
-    after_scheme = F.substring_index(url, "//", -1)
-    # authority + path: drop query and fragment first
-    no_frag = F.substring_index(F.substring_index(after_scheme, "#", 1), "?", 1)
-    authority = F.substring_index(no_frag, "/", 1)
-    return F.substring(no_frag, F.length(authority) + 1, F.lit(1 << 20))
+    no_fq = _no_query_fragment(_after_scheme(url))
+    authority = F.substring_index(no_fq, "/", 1)
+    return F.substring(no_fq, F.length(authority) + 1, F.lit(1 << 20))
 
 
 def url_path_depth(url: Column | str) -> Column:
@@ -54,18 +70,37 @@ def url_path_depth(url: Column | str) -> Column:
 
 
 def url_normalize(url: Column | str) -> Column:
-    """Canonical form: lowercased scheme and host, userinfo/default
-    port stripped, fragment dropped, query kept, trailing slash on a
-    bare path dropped."""
+    """Canonical form: lowercased scheme and host, userinfo stripped,
+    DEFAULT port stripped (':80' for http, ':443' for https — explicit
+    non-default ports like ':8080' are kept, they change URL identity),
+    fragment dropped, query kept, trailing slash on a bare path
+    dropped.  Input without '//' is returned unchanged (nothing to
+    normalize without a scheme separator)."""
     url = _as_col(url)
-    scheme = F.lower(F.substring_index(url, "//", 1))
-    rest = F.substring_index(url, "//", -1)
+    pos = F.instr(url, "//")
+    scheme = F.lower(F.substring_index(url, "//", 1))  # e.g. 'https:'
+    rest = F.substring(url, pos + F.lit(2), F.lit(1 << 20))
     no_frag = F.substring_index(rest, "#", 1)
-    authority = F.substring_index(no_frag, "/", 1)
+    authority = F.substring_index(F.substring_index(no_frag, "?", 1), "/", 1)
     tail = F.substring(no_frag, F.length(authority) + 1, F.lit(1 << 20))
-    host = url_host(url)
+    no_user = F.substring_index(authority, "@", -1)
+    host = F.lower(F.substring_index(no_user, ":", 1))
+    cpos = F.instr(no_user, ":")
+    port = F.when(
+        cpos > 0, F.substring(no_user, cpos + F.lit(1), F.lit(16))
+    ).otherwise(F.lit(""))
+    default_port = (
+        (port == "")
+        | ((scheme == "http:") & (port == "80"))
+        | ((scheme == "https:") & (port == "443"))
+    )
+    hostport = F.when(default_port, host).otherwise(
+        F.concat(host, F.lit(":"), port)
+    )
     tail = F.when(tail == "/", F.lit("")).otherwise(tail)
-    return F.concat(scheme, F.lit("//"), host, tail)
+    return F.when(
+        pos > 0, F.concat(scheme, F.lit("//"), hostport, tail)
+    ).otherwise(url)
 
 
 def host_stats(

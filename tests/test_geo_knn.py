@@ -267,6 +267,25 @@ def test_geo_cover_cells_bbox_wraps(spark):
     assert sorted(rows[1]["c"]) == list(range(nlon * nlat))
 
 
+def test_geo_cover_cells_bbox_near_global_wrap(spark):
+    """Wrapped box with span in (360 - cell_width, 360): both endpoints
+    land in the SAME column (pmod = 0) but the box covers every column
+    — the r04 ADVICE under-cover case."""
+    from pygeoops_spark.join.geo_knn import geo_cover_cells_bbox
+
+    # span 359.9: lonmin 170, wrapped lonmax 169.9 — same level-3 cell
+    df = spark.createDataFrame(
+        [(170.0, 0.0, 169.9, 10.0)],
+        ["lonmin", "latmin", "lonmax", "latmax"],
+    )
+    rows = df.select(
+        geo_cover_cells_bbox("lonmin", "latmin", "lonmax", "latmax", 3).alias("c")
+    ).collect()
+    nlat = 8
+    cols = {c // nlat for c in rows[0]["c"]}
+    assert cols == set(range(16))
+
+
 # -- geographic PIP join --------------------------------------------------
 
 

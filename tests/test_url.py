@@ -75,3 +75,53 @@ def test_host_stats_and_sample(spark):
     a = sorted(r["url"] for r in samp.collect())
     b = sorted(r["url"] for r in host_balanced_sample(df, 3).collect())
     assert a == b
+
+
+MESSY_CASES = [
+    # first-'//' anchoring: absolute URL embedded in a redirect param
+    ("https://a.com/r?u=https://b.com", "a.com", "/r", 1),
+    # '//' inside the path (empty segment filtered from depth)
+    ("https://a.com/r//go?u=https://b.com/x", "a.com", "/r//go", 2),
+    # protocol-relative URL in the query of a path-less url
+    ("https://h?q=//evil.example/x", "h", "", 0),
+    # bare host + fragment only
+    ("https://h#frag", "h", "", 0),
+    # scheme-less input: treated as authority-first
+    ("example.com/a/b", "example.com", "/a/b", 2),
+]
+
+
+def test_url_parts_messy(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in MESSY_CASES], ["url"])
+    rows = df.select(
+        "url",
+        url_host("url").alias("h"),
+        url_path("url").alias("p"),
+        url_path_depth("url").alias("d"),
+    ).collect()
+    exp = {u: (h, p, d) for u, h, p, d in MESSY_CASES}
+    for r in rows:
+        assert (r["h"], r["p"], r["d"]) == exp[r["url"]], r["url"]
+
+
+def test_url_normalize_ports_and_guards(spark):
+    cases = [
+        # default ports stripped, matched to the scheme
+        ("HTTP://Site.Example:80/a", "http://site.example/a"),
+        ("HTTPS://Site.Example:443/a", "https://site.example/a"),
+        # non-default port KEPT (it changes URL identity)
+        ("https://site.example:8080/a", "https://site.example:8080/a"),
+        # http on 443 is not a default pairing -> kept
+        ("http://site.example:443/a", "http://site.example:443/a"),
+        # no '//' -> unchanged
+        ("example.com/a", "example.com/a"),
+        # embedded URL in query survives normalization untouched
+        (
+            "HTTPS://A.com/r?u=https://b.com#frag",
+            "https://a.com/r?u=https://b.com",
+        ),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = {r["url"]: r["n"] for r in df.select("url", url_normalize("url").alias("n")).collect()}
+    for u, want in cases:
+        assert got[u] == want, u

@@ -379,3 +379,31 @@ def test_make_valid_point_multipoint_passthrough():
     assert make_valid(pt).type_id == POINT
     mp = wkt_loads("MULTIPOINT ((0 0), (1 1))")
     assert make_valid(mp).type_id == MULTIPOINT
+
+
+def test_make_valid_collection_only_if_invalid_fast_path():
+    """only_if_invalid must propagate into GEOMETRYCOLLECTION parts: an
+    already-valid multipolygon inside a collection comes back untouched
+    (same part order), not area-reordered by the arrangement repair
+    (reference fast path _general.py:446-458)."""
+    import numpy as np
+
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.validity import make_valid
+    from pygeoops_spark.geom.wkb import GEOMETRYCOLLECTION, get_parts, multi, MULTIPOLYGON
+
+    small = polygon([(0, 0), (1, 0), (1, 1), (0, 1)])
+    big = polygon([(10, 0), (30, 0), (30, 20), (10, 20)])
+    # small FIRST: an area-ordering repair would put big first
+    mp = multi(MULTIPOLYGON, [small, big])
+    gc = multi(GEOMETRYCOLLECTION, [mp])
+    out = make_valid(gc, only_if_invalid=True)
+    [out_mp] = get_parts(out)
+    parts = get_parts(out_mp)
+    assert len(parts) == 2
+    np.testing.assert_array_equal(
+        np.asarray(parts[0].data[0]), np.asarray(small.data[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(parts[1].data[0]), np.asarray(big.data[0])
+    )
