@@ -126,9 +126,18 @@ def difference_all_tiled_distributed(
     target_partitions): the shuffled WKB is tiny but each row costs
     real kernel CPU, so AQE's size-based coalescing would collapse the
     exchange to one task and serialize the whole job.
+
+    The default over-partitions 4x the core count: per-tile kernel cost
+    is skewed (coordinate count x subtrahend overlap), and with only
+    2x the hash placement regularly lands several heavy tiles in one
+    task (r04 bench: 5.8-10.9 s rep spread at ~75 features/partition).
+    4x quarters the per-task granule so the scheduler rebalances
+    stragglers dynamically — the standard skew mitigation that needs no
+    extra exchange (a cost-sorted round-robin would, via a global
+    window).
     """
     if target_partitions is None:
-        target_partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+        target_partitions = df.sparkSession.sparkContext.defaultParallelism * 4
     tiles = (
         df.select(id_col, F.explode(subdivide_col(wkb_col, subdivide_coords)).alias("_tile"))
         .repartition(target_partitions, F.col(id_col), F.col("_tile"))
