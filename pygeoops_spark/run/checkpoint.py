@@ -47,14 +47,82 @@ def completed_partitions(spark: SparkSession, base: str) -> DataFrame | None:
         return None
 
 
+def _write_batch(
+    spark: SparkSession, batch_df: DataFrame, base: str, part_col: str, columns
+) -> dict:
+    """One commit unit: write the batch's partitions + append their
+    manifest rows. A kill between batches loses at most the in-flight
+    batch (its partition dirs are overwritten idempotently on resume —
+    dynamic partition overwrite)."""
+    t0 = time.time()
+    batch_df = batch_df.cache()
+    # per-partition lineage in the same pass as the write: rows + checksum
+    stats_rows = (
+        batch_df.groupBy(F.col(part_col).alias("part_key"))
+        .agg(
+            F.count("*").alias("rows_out"),
+            # xor-fold: order-insensitive and overflow-free (a sum of
+            # 64-bit hashes overflows under ANSI mode at scale)
+            F.expr(
+                "bit_xor("
+                + "xxhash64("
+                + ", ".join(f"`{c}`" for c in columns if c != part_col)
+                + "))"
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    if not stats_rows:
+        batch_df.unpersist()
+        return {"written": 0, "rows_out": 0}
+    (
+        batch_df.write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(data_path(base))
+    )
+    wall_ms = int((time.time() - t0) * 1000)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # part_key takes the partition column's own type (string keys are as
+    # common as numeric ones; a hardcoded LONG breaks them)
+    manifest_schema = StructType(
+        [
+            StructField("part_key", batch_df.schema[part_col].dataType, True),
+            StructField("rows_out", LongType(), True),
+            StructField("checksum", LongType(), True),
+            StructField("wall_ms", LongType(), True),
+        ]
+    )
+    manifest = spark.createDataFrame(
+        [
+            (r["part_key"], r["rows_out"], r["checksum"], wall_ms)
+            for r in stats_rows
+        ],
+        manifest_schema,
+    ).withColumn("finished_ts", F.current_timestamp())
+    manifest.write.mode("append").parquet(manifest_path(base))
+    rows_out = sum(r["rows_out"] for r in stats_rows)
+    batch_df.unpersist()
+    return {"written": len(stats_rows), "rows_out": int(rows_out)}
+
+
 def run_checkpointed(
     spark: SparkSession,
     df: DataFrame,
     base: str,
     part_col: str,
     batch_partitions: int | None = None,
+    on_batch=None,
 ) -> dict:
     """Write df partitioned by part_col, resumably.
+
+    ``batch_partitions`` sets the checkpoint granularity: partitions
+    are committed (data + manifest) in key-sorted batches of that size,
+    so a crash loses at most one in-flight batch and a resume re-runs
+    only the partitions without manifest rows. None = one batch (the
+    whole remaining work commits atomically at the end). ``on_batch``
+    (tests/harnesses) is called after each batch commit with the
+    running batch index.
 
     Returns a summary dict: {"written": n_partitions, "skipped": n,
     "rows_out": n}. Call again after a failure to continue.
@@ -81,56 +149,29 @@ def run_checkpointed(
             keep = keep & F.col(part_col).isNotNull()
         if done_key_vals:
             todo = df.where(keep)
-    t0 = time.time()
-    todo = todo.cache()
-    # per-partition lineage in the same pass as the write: rows + checksum
-    stats_rows = (
-        todo.groupBy(F.col(part_col).alias("part_key"))
-        .agg(
-            F.count("*").alias("rows_out"),
-            # xor-fold: order-insensitive and overflow-free (a sum of
-            # 64-bit hashes overflows under ANSI mode at scale)
-            F.expr(
-                "bit_xor("
-                + "xxhash64("
-                + ", ".join(f"`{c}`" for c in df.columns if c != part_col)
-                + "))"
-            ).alias("checksum"),
-        )
-        .collect()
-    )
-    if not stats_rows:
-        todo.unpersist()
-        return {"written": 0, "skipped": skipped, "rows_out": 0}
-    (
-        todo.write.mode("overwrite")
-        .partitionBy(part_col)
-        .parquet(data_path(base))
-    )
-    wall_ms = int((time.time() - t0) * 1000)
-    from pyspark.sql.types import LongType, StructField, StructType
 
-    # part_key takes the partition column's own type (string keys are as
-    # common as numeric ones; a hardcoded LONG breaks them)
-    manifest_schema = StructType(
-        [
-            StructField("part_key", df.schema[part_col].dataType, True),
-            StructField("rows_out", LongType(), True),
-            StructField("checksum", LongType(), True),
-            StructField("wall_ms", LongType(), True),
-        ]
-    )
-    manifest = spark.createDataFrame(
-        [
-            (r["part_key"], r["rows_out"], r["checksum"], wall_ms)
-            for r in stats_rows
-        ],
-        manifest_schema,
-    ).withColumn("finished_ts", F.current_timestamp())
-    manifest.write.mode("append").parquet(manifest_path(base))
-    rows_out = sum(r["rows_out"] for r in stats_rows)
-    todo.unpersist()
-    return {"written": len(stats_rows), "skipped": skipped, "rows_out": int(rows_out)}
+    total = {"written": 0, "skipped": skipped, "rows_out": 0}
+    if batch_partitions is None:
+        r = _write_batch(spark, todo, base, part_col, df.columns)
+        total["written"] += r["written"]
+        total["rows_out"] += r["rows_out"]
+        return total
+    # batched commits: the todo key list is metadata-scale (one value
+    # per partition); sorted for a deterministic commit order
+    keys = [r[0] for r in todo.select(part_col).distinct().collect()]
+    keys.sort(key=lambda v: (v is None, v))
+    for bi in range(0, len(keys), batch_partitions):
+        batch_keys = keys[bi : bi + batch_partitions]
+        non_null = [k for k in batch_keys if k is not None]
+        cond = F.col(part_col).isin(non_null) if non_null else F.lit(False)
+        if any(k is None for k in batch_keys):
+            cond = cond | F.col(part_col).isNull()
+        r = _write_batch(spark, todo.where(cond), base, part_col, df.columns)
+        total["written"] += r["written"]
+        total["rows_out"] += r["rows_out"]
+        if on_batch is not None:
+            on_batch(bi // batch_partitions)
+    return total
 
 
 def lineage_report(spark: SparkSession, base: str) -> DataFrame | None:

@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--cell-level", type=int, default=5)
     ap.add_argument("--output", required=True)
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--batch-partitions",
+        type=int,
+        default=None,
+        help="checkpoint granularity: commit (data+manifest) every N "
+        "partitions so a crash loses at most one batch",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -52,7 +59,9 @@ def main() -> None:
     tiled = assign_to_grid(
         joined, "x", "y", (0.0, 0.0, 1000.0, 1000.0), args.grid, args.grid
     ).select("url", "warc_ts", "text", "lang", "x", "y", "zone_id", "tile_id")
-    summary = run_checkpointed(spark, tiled, args.output, "tile_id")
+    summary = run_checkpointed(
+        spark, tiled, args.output, "tile_id", batch_partitions=args.batch_partitions
+    )
     summary["wall_sec"] = round(time.time() - t0, 3)
     rep = lineage_report(spark, args.output)
     summary["partitions_total"] = rep.count() if rep is not None else 0

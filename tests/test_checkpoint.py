@@ -106,3 +106,74 @@ def test_checkpoint_null_partition_key_resume(spark):
         assert s3["skipped"] == 3
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_batched_commits_and_resume(spark):
+    """batch_partitions commits (data+manifest) incrementally: stopping
+    after batch 1 (simulated via the on_batch hook raising — same
+    effect as a crash between commits) leaves exactly one batch in the
+    manifest, and the resume writes only the rest."""
+    import pandas as pd
+    import tempfile
+
+    from pygeoops_spark.run.checkpoint import (
+        completed_partitions,
+        data_path,
+        run_checkpointed,
+    )
+
+    base = tempfile.mkdtemp(prefix="ckpt_batch_")
+    try:
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": [i % 6 for i in range(60)], "v": range(60)})
+        )
+
+        class Stop(Exception):
+            pass
+
+        def die_after_first(bi):
+            if bi == 0:
+                raise Stop()
+
+        try:
+            run_checkpointed(spark, df, base, "k", batch_partitions=2,
+                             on_batch=die_after_first)
+            raise AssertionError("expected the simulated crash")
+        except Stop:
+            pass
+        done = completed_partitions(spark, base)
+        assert done.count() == 2  # exactly one 2-partition batch committed
+
+        s = run_checkpointed(spark, df, base, "k", batch_partitions=2)
+        assert s["skipped"] == 2
+        assert s["written"] == 4
+        out = spark.read.parquet(data_path(base))
+        assert out.count() == 60
+    finally:
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
+import pytest
+
+RUNS_LOCAL = __import__("os").environ.get("RUNS_LOCAL") == "1"
+
+
+@pytest.mark.skipif(not RUNS_LOCAL, reason="3 subprocess Spark runs + SIGKILL; set RUNS_LOCAL=1")
+def test_resume_after_sigkill_end_to_end():
+    """Hard-kill evidence (scripts/resume_kill_test.py): SIGKILL the
+    pipeline mid-run, resume, and verify per-partition checksums + row
+    counts equal the one-shot run. The per-round artifact lives in
+    BENCH/resume_kill_r05.json."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "resume_kill_test.py"),
+         "--pages", "150000"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
