@@ -409,20 +409,22 @@ def _ann_recall_check(spark: SparkSession, sf_dir: str, approx_fn, floor_hits: i
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat recall bounded-check: k-means-quantized nprobe search
-    with 3-way target multi-assignment must keep >= 2 of the exact
-    top-5 for EVERY query (measured min at sf0.01 is 3, mean 4.5 —
-    floor 2 leaves one hit of margin; the pipeline is deterministic —
-    hash-sampled training set, stable Lloyd iterations)."""
+    """IVF-flat recall bounded-check: k-means-quantized nprobe-6 search
+    with 3-way target multi-assignment must keep >= 3 of the exact
+    top-5 for EVERY query (measured at sf0.01: min 4, mean 4.84 — the
+    floor keeps one hit of margin; nprobe 4 measured min 3, so the r04
+    floor of 2 was raised together with nprobe. The pipeline is
+    deterministic — hash-sampled training set, stable Lloyd
+    iterations)."""
     from pygeoops_spark.ann.cosine import cosine_topk_ivf
 
     return _ann_recall_check(
         spark,
         sf_dir,
         lambda q, t: cosine_topk_ivf(
-            q, t, k=5, n_cells=16, nprobe=4, t_assign=3, train_iters=8
+            q, t, k=5, n_cells=16, nprobe=6, t_assign=3, train_iters=8
         ),
-        floor_hits=2,
+        floor_hits=3,
     )
 
 
@@ -1319,16 +1321,18 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH recall bounded-check: 8 bands x 3 bits must keep >= 2 of
-    the exact top-5 for EVERY query (measured min at sf0.01 is 3, mean
-    4.3; hyperplanes are a fixed-seed deterministic family)."""
+    """SRP-LSH recall bounded-check: 16 bands x 3 bits must keep >= 3
+    of the exact top-5 for EVERY query (measured at sf0.01: min 4, mean
+    4.86 — the floor keeps one hit of margin; 8x3 bands measured min 3,
+    so the r04 floor of 2 was raised with the band count. Hyperplanes
+    are a fixed-seed deterministic family)."""
     from pygeoops_spark.ann.cosine import cosine_topk_lsh
 
     return _ann_recall_check(
         spark,
         sf_dir,
-        lambda q, t: cosine_topk_lsh(q, t, k=5, n_bits=24, bands=8),
-        floor_hits=2,
+        lambda q, t: cosine_topk_lsh(q, t, k=5, n_bits=48, bands=16),
+        floor_hits=3,
     )
 
 
