@@ -345,3 +345,42 @@ def test_parcel_difference_box_identity(t, c):
         inter = _area(polygon_intersection(p, c))
         diff = _area(polygon_difference(p, c))
         assert abs((diff + inter) - ap) < 1e-6
+
+
+# -- projected-metre-scale coordinates (scale-relative snap path) ----------
+@settings(max_examples=_n(100), deadline=None)
+@given(parcel_pairs(), st.sampled_from([1e5, 5e5, 1e6]))
+def test_adjacent_parcels_projected_scale(t, offset):
+    """The same parcel identities at Belgian-Lambert-like magnitudes
+    (coords ~1e5-1e6): exercises the scale-relative snap (_op_snap) —
+    an absolute 1e-9 grid would overflow the int64 key mantissa near
+    1e7 and eat vertices ulps apart at 1e6."""
+    if t is None:
+        return
+    a, b, whole, eps = t
+
+    def shift(g):
+        return polygon(np.asarray(g.data[0])[:, :2] + offset)
+
+    a2, b2, w2 = shift(a), shift(b), shift(whole)
+    aa, ab = polygon_area(a2), polygon_area(b2)
+    if aa < 1e-6 or ab < 1e-6:
+        return
+    # honest error model at large absolute coordinates: (a) snap-scale
+    # sliver absorption ~100*snap along the ~60-unit perimeter; (b) a
+    # near-parallel crossing (angle ~ eps/L) is ill-conditioned — its
+    # position slides along the chord by ~ulp(offset)/sin(angle), an
+    # area term ~ ulp(offset)/max(eps, snap) * L^2. The guarantee under
+    # test is NO CATASTROPHIC FACE LOSS (errors bounded by these
+    # tolerance-physics terms), not micro-exactness.
+    snap = max(1e-9, offset * 1e-12)
+    tol = (
+        1e-6
+        + eps * 500
+        + snap * 100 * 60
+        + offset * 2.3e-16 / max(eps, snap) * 600
+    )
+    inter = _area(polygon_intersection(a2, b2))
+    assert inter < tol
+    assert abs(_area(polygon_difference(a2, b2)) - aa) < tol
+    assert abs(_area(polygon_union([a2, b2])) - polygon_area(w2)) < tol

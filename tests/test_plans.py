@@ -184,3 +184,30 @@ def test_geo_knn_shuffle_path_no_cartesian(spark):
     # still choose broadcast for tiny test inputs — assert it is an
     # equi-join either way)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_geo_pip_join_broadcasts_no_cartesian(spark):
+    """Geographic PIP join: zone cells broadcast (point side never
+    shuffled), candidate join is a hash join on cell id — no cartesian
+    product anywhere in the plan."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.join.geo_knn import geo_pip_join
+
+    zones = spark.createDataFrame(
+        [
+            (1, 10.0, -10.0, 30.0, 10.0,
+             bytearray(wkb_dumps(mk_poly([(10, -10), (30, -10), (30, 10), (10, 10)])))),
+            (2, 170.0, -5.0, 190.0, 5.0,
+             bytearray(wkb_dumps(mk_poly([(170, -5), (190, -5), (190, 5), (170, 5)])))),
+        ],
+        "zone_id long, lonmin double, latmin double, lonmax double, latmax double, zone_wkb binary",
+    )
+    pts = spark.range(500).select(
+        F.col("id").alias("pid"),
+        (F.col("id") * 0.72 - 180).alias("lon"),
+        (F.col("id") * 0.32 - 80).alias("lat"),
+    )
+    out = geo_pip_join(pts, zones, level=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
