@@ -24,8 +24,19 @@ from pygeoops_spark.geom.wkb import (
 
 # -- ring / line measures -------------------------------------------------
 def ring_signed_area(ring: np.ndarray) -> float:
-    """Shoelace signed area of a closed ring (CCW positive)."""
-    x, y = ring[:, 0], ring[:, 1]
+    """Shoelace signed area of a closed ring (CCW positive).
+
+    Coordinates are shifted by the first vertex before the shoelace:
+    (a) it removes the catastrophic cancellation of raw x*y products at
+    projected-CRS magnitudes (|x| ~ 1e5-1e6), and (b) it makes the
+    formula exact for rings whose closing vertex is within tolerance of
+    but not bit-equal to the first (overlay stitching can leave a
+    sub-snap gap): with the first vertex at the origin the implicit
+    closing-edge term vanishes identically, whereas the unshifted
+    unclosed sum carries an offset*gap error (0.25 area units for a
+    1e-6 gap at |x| = 5e5)."""
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
 
 

@@ -356,36 +356,66 @@ def _stitch(
     edges: list[tuple[np.ndarray, np.ndarray]], snap: float = SNAP
 ) -> list[np.ndarray]:
     """Assemble directed edges into closed rings. At branching vertices
-    pick the most counter-clockwise continuation (keeps minimal rings)."""
+    pick the most counter-clockwise continuation (keeps minimal rings).
+
+    Two-phase: the fast path uses raw grid keys and NO degenerate-input
+    machinery — a clean overlay (the overwhelming majority, e.g. every
+    hull union inside buffer_by_m) walks with zero discarded edges, so
+    node clustering / degree repair / gap bridging would be pure
+    overhead (~12% of the union profile). Only when the fast walk
+    drops or bridges anything does the robust path re-run with the
+    full tolerance machinery.
+    """
+    rings, clean = _stitch_core(edges, snap, robust=False)
+    if clean:
+        return rings
+    rings, _ = _stitch_core(edges, snap, robust=True)
+    return rings
+
+
+def _stitch_core(
+    edges: list[tuple[np.ndarray, np.ndarray]], snap: float, robust: bool
+) -> tuple[list[np.ndarray], bool]:
     # dedupe identical directed edges, then drop anti-parallel pairs
     # entirely (BOTH members): an edge traversed in both directions is
     # an interior seam between coincident boundaries — keeping either
     # one forms a degenerate 2-edge ring in the max-turn walk and
     # consumes an edge a real ring needed.
     # Keys are snapped in ONE numpy pass (per-endpoint _key calls were
-    # ~20% of the union profile), then CLUSTERED within the 10*snap
-    # classification tolerance: dropped micro-pieces (e.g. a 1.4*snap
-    # connector between a vertex and a degenerate crossing, classified
-    # as shared boundary and absorbed by the other operand) would
-    # otherwise leave a gap wider than one grid cell and the walk would
-    # discard the whole ring as an open chain.
+    # ~20% of the union profile). In robust mode they are CLUSTERED
+    # within the 10*snap classification tolerance: dropped micro-pieces
+    # (e.g. a 1.4*snap connector between a vertex and a degenerate
+    # crossing, classified as shared boundary and absorbed by the other
+    # operand) would otherwise leave a gap wider than one grid cell and
+    # the walk would discard the whole ring as an open chain.
     if not edges:
-        return []
+        return [], True
     a_arr = np.array([e[0] for e in edges])
     b_arr = np.array([e[1] for e in edges])
     ka_all = np.round(a_arr / snap).astype(np.int64)
     kb_all = np.round(b_arr / snap).astype(np.int64)
-    uniq, inv = np.unique(np.vstack([ka_all, kb_all]), axis=0, return_inverse=True)
-    canon = _cluster_nodes(uniq, radius=10)
     n_edge = len(edges)
-    ca_idx = canon[inv[:n_edge]]
-    cb_idx = canon[inv[n_edge:]]
-    keys = [
-        ((int(uniq[ca_idx[i], 0]), int(uniq[ca_idx[i], 1])),
-         (int(uniq[cb_idx[i], 0]), int(uniq[cb_idx[i], 1])))
-        for i in range(n_edge)
-    ]
-    # degenerate after clustering: both endpoints in one cluster
+    if robust:
+        uniq, inv = np.unique(
+            np.vstack([ka_all, kb_all]), axis=0, return_inverse=True
+        )
+        canon = _cluster_nodes(uniq, radius=10)
+        ca_idx = canon[inv[:n_edge]]
+        cb_idx = canon[inv[n_edge:]]
+        keys = [
+            ((int(uniq[ca_idx[i], 0]), int(uniq[ca_idx[i], 1])),
+             (int(uniq[cb_idx[i], 0]), int(uniq[cb_idx[i], 1])))
+            for i in range(n_edge)
+        ]
+    else:
+        ka_l = ka_all.tolist()
+        kb_l = kb_all.tolist()
+        keys = [
+            ((ka_l[i][0], ka_l[i][1]), (kb_l[i][0], kb_l[i][1]))
+            for i in range(n_edge)
+        ]
+    # degenerate: both endpoints on one node (zero-length after snap /
+    # collapsed cluster)
     live = [i for i in range(n_edge) if keys[i][0] != keys[i][1]]
     edges = [edges[i] for i in live]
     keys = [keys[i] for i in live]
@@ -402,14 +432,16 @@ def _stitch(
     edge_keys = [keys[i] for i in kept_idx]
     edges = [edges[i] for i in kept_idx]
 
-    # degree repair: in a clean overlay every node has out-degree ==
-    # in-degree (each face boundary passes through). A spurious seam
-    # edge — one operand's boundary hugging the other's corner inside
-    # the tolerance band, kept with no anti-parallel partner — adds
-    # exactly one surplus-out node and one surplus-in node; the
-    # max-turn walk then takes it, dead-ends, and discards a whole
-    # valid ring. Remove the shortest surplus->deficit edge until
-    # balanced (no-op on non-degenerate inputs).
+    # degree repair (robust mode): in a clean overlay every node has
+    # out-degree == in-degree (each face boundary passes through). A
+    # spurious seam edge — one operand's boundary hugging the other's
+    # corner inside the tolerance band, kept with no anti-parallel
+    # partner — adds exactly one surplus-out node and one surplus-in
+    # node; the max-turn walk then takes it, dead-ends, and discards a
+    # whole valid ring. Remove the shortest surplus->deficit edge until
+    # balanced. The fast path instead treats ANY imbalance as the
+    # degenerate-input signal and defers to the robust re-run.
+    clean = True
     while True:
         outdeg: dict[tuple, int] = defaultdict(int)
         indeg: dict[tuple, int] = defaultdict(int)
@@ -422,7 +454,14 @@ def _stitch(
             if outdeg[ka] > indeg[ka] and indeg[kb] > outdeg[kb]
         ]
         if not cands:
+            if not robust and any(
+                outdeg.get(k, 0) != indeg.get(k, 0)
+                for k in set(outdeg) | set(indeg)
+            ):
+                return [], False
             break
+        if not robust:
+            return [], False
         drop = min(
             cands,
             key=lambda i: math.hypot(
@@ -466,11 +505,16 @@ def _stitch(
                 del nodes[i0:]
                 continue
             cands = [i for i in out_map[end_key] if not used[i]]
+            if not cands and not robust:
+                # fast path: a dead end means degenerate input — defer
+                # to the robust re-run (clustered keys + repair +
+                # bridging) instead of discarding anything here
+                return [], False
             if not cands:
                 # dead end: bridge a tolerance-scale gap. Side-sampling
                 # (offset 100*snap) can absorb a connector piece up to
                 # ~100 cells long, leaving the ring unclosable by exact
-                # key match; jump to the nearest node (within 1.5x that
+                # key match; jump to the nearest node (within 1.5x the
                 # scale) that is on the path or still has an unused
                 # out-edge. Area error is bounded by gap * perimeter —
                 # the discarded-ring alternative loses the whole face.
@@ -524,7 +568,7 @@ def _stitch(
             node_pos[end_key] = len(stack)
             nodes.append(end_key)
             stack.append(nxt)
-    return rings
+    return rings, clean
 
 
 def _rings_to_polygons(rings: list[np.ndarray], dims: str = "xy") -> Geometry | None:
@@ -532,6 +576,12 @@ def _rings_to_polygons(rings: list[np.ndarray], dims: str = "xy") -> Geometry | 
     for r in rings:
         if len(r) < 4:
             continue
+        # stitched rings can close within tolerance rather than
+        # bit-exactly (clustered nodes / bridged gaps); emit a properly
+        # closed ring so downstream consumers and the shoelace see the
+        # exact closure
+        if r[-1, 0] != r[0, 0] or r[-1, 1] != r[0, 1]:
+            r = np.vstack([r, r[0]])
         area = ring_signed_area(r)
         if abs(area) < SNAP:
             continue

@@ -347,3 +347,23 @@ def test_split_tile_geometry_property_convex():
         assert total == pytest.approx(in_area, rel=1e-9), f"trial {trial}"
         for ch in children:
             assert polygon_is_simple(ch), f"trial {trial}"
+
+
+def test_ring_signed_area_projected_offset_and_tolerance_closure():
+    """Shoelace conditioning at projected-CRS magnitudes: shifting by
+    the first vertex removes (a) catastrophic cancellation of raw x*y
+    products at |x| ~ 5e5 and (b) the offset*gap error of a ring whose
+    closing vertex is within tolerance but not bit-equal (overlay
+    stitching can leave a sub-snap gap — the unshifted formula returned
+    0.255 for a 0.005-area ring)."""
+    import numpy as np
+
+    from pygeoops_spark.geom.kernels import ring_signed_area
+
+    rel = np.array(
+        [[1e-06, 0.0], [0.1, 0.0], [1.0, 0.1], [0.90909, 0.090909], [0.0, 0.0]]
+    )
+    a_rel = ring_signed_area(rel)
+    for off in (1e5, 5e5, 1e6):
+        a_abs = ring_signed_area(rel + off)
+        assert abs(a_abs - a_rel) < 1e-6, off

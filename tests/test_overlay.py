@@ -323,6 +323,10 @@ SHARED_BOUNDARY_CASES = [
     # micro-slivers at 1e-9 (the snap scale itself)
     ([(0.1, 0), (0.1, 0.1), (0, 0.5)],
      [(1e-09, 0.5), (0, 0), (0.1, 1e-09)]),
+    # thin triangle at projected-CRS offset, eps below the op snap:
+    # exposed the unclosed-ring shoelace error (0.255 vs 0.005)
+    ([(500000, 500000), (500000.1, 500000), (500001, 500000.1)],
+     [(500000.9999999, 500000.1), (500000, 500000.1), (500000, 499999.9999999)]),
 ]
 
 
