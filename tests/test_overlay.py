@@ -354,3 +354,41 @@ def test_shared_boundary_identities(ab):
     # union inclusion-exclusion
     u = area(polygon_union([a, b]))
     assert abs(u - (aa + abb - inter)) < 1e-4 * max(aa + abb, 1.0)
+
+
+def test_shared_boundary_with_holes():
+    """Shared boundaries involving HOLES: a plug filling the hole
+    exactly, a half-plug sharing hole edges, a bridge piece sharing
+    both a shell edge and a hole edge, and an eps-perturbed half-plug
+    (near-shared hole boundary)."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.overlay import (
+        polygon_difference,
+        polygon_intersection,
+        polygon_union,
+    )
+
+    def area(g):
+        return 0.0 if g is None else polygon_area(g)
+
+    A = polygon([(0, 0), (10, 0), (10, 10), (0, 10)],
+                holes=[[(3, 3), (7, 3), (7, 7), (3, 7)]])
+    assert polygon_area(A) == 84.0
+    plug = polygon([(3, 3), (7, 3), (7, 7), (3, 7)])
+    assert area(polygon_union([A, plug])) == pytest.approx(100.0)
+    assert area(polygon_difference(A, plug)) == pytest.approx(84.0)
+    assert area(polygon_intersection(A, plug)) == pytest.approx(0.0, abs=1e-9)
+
+    half = polygon([(3, 3), (5, 3), (5, 7), (3, 7)])
+    assert area(polygon_union([A, half])) == pytest.approx(92.0)
+    assert area(polygon_difference(A, half)) == pytest.approx(84.0)
+
+    bridge = polygon([(0, 3), (3, 3), (3, 7), (0, 7)])  # shell edge -> hole edge
+    assert area(polygon_difference(A, bridge)) == pytest.approx(72.0)
+    assert area(polygon_union([A, bridge])) == pytest.approx(84.0)
+    assert area(polygon_intersection(A, bridge)) == pytest.approx(12.0)
+
+    half_eps = polygon([(3 - 1e-9, 3), (5, 3 - 1e-9), (5, 7), (3, 7 + 1e-9)])
+    assert area(polygon_union([A, half_eps])) == pytest.approx(92.0, abs=1e-6)
+    assert area(polygon_difference(A, half_eps)) == pytest.approx(84.0, abs=1e-6)
