@@ -14,13 +14,12 @@ Spark primitives):
 
 from __future__ import annotations
 
-from typing import Iterable
 
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, BinaryType, DoubleType, IntegerType, StructField, StructType
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType, IntegerType
 
 from pygeoops_spark.geom.difference import difference_all
 from pygeoops_spark.geom.general import subdivide as subdivide_kernel

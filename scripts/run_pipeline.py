@@ -44,8 +44,6 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    from pyspark.sql import functions as F
-
     from pygeoops_spark.corpus.pages import synth_pages, synth_zones
     from pygeoops_spark.join.pip import pip_join_rects
     from pygeoops_spark.operators.grid import assign_to_grid
