@@ -392,3 +392,47 @@ def test_shared_boundary_with_holes():
     half_eps = polygon([(3 - 1e-9, 3), (5, 3 - 1e-9), (5, 7), (3, 7 + 1e-9)])
     assert area(polygon_union([A, half_eps])) == pytest.approx(92.0, abs=1e-6)
     assert area(polygon_difference(A, half_eps)) == pytest.approx(84.0, abs=1e-6)
+
+
+def test_shared_boundary_multipolygon_cases():
+    """Multi-part operands sharing boundaries: a gap filler touching
+    both parts of a multipolygon, a filler overlapping into both parts
+    along collinear shared edges, an eps-off filler, and multipolygon
+    minus multipolygon with shared internal edges."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.overlay import (
+        polygon_difference,
+        polygon_intersection,
+        polygon_union,
+    )
+    from pygeoops_spark.geom.wkb import MULTIPOLYGON, multi
+
+    def area(g):
+        return 0.0 if g is None else polygon_area(g)
+
+    A = multi(MULTIPOLYGON, [
+        polygon([(0, 0), (4, 0), (4, 4), (0, 4)]),
+        polygon([(6, 0), (10, 0), (10, 4), (6, 4)]),
+    ])
+    filler = polygon([(4, 0), (6, 0), (6, 4), (4, 4)])
+    assert area(polygon_union([A, filler])) == pytest.approx(40.0)
+    assert area(polygon_difference(A, filler)) == pytest.approx(32.0)
+    assert area(polygon_difference(filler, A)) == pytest.approx(8.0)
+    assert area(polygon_intersection(A, filler)) == pytest.approx(0.0, abs=1e-9)
+
+    wide = polygon([(3, 0), (7, 0), (7, 4), (3, 4)])
+    assert area(polygon_union([A, wide])) == pytest.approx(40.0)
+    assert area(polygon_difference(A, wide)) == pytest.approx(24.0)
+    assert area(polygon_intersection(A, wide)) == pytest.approx(8.0)
+
+    eps_filler = polygon([(4 + 1e-9, 0), (6 - 1e-9, 0), (6, 4), (4, 4)])
+    assert area(polygon_union([A, eps_filler])) == pytest.approx(40.0, abs=1e-6)
+    assert area(polygon_difference(A, eps_filler)) == pytest.approx(32.0, abs=1e-6)
+
+    C = multi(MULTIPOLYGON, [
+        polygon([(0, 0), (4, 0), (4, 2), (0, 2)]),
+        polygon([(6, 2), (10, 2), (10, 4), (6, 4)]),
+    ])
+    assert area(polygon_difference(A, C)) == pytest.approx(16.0)
+    assert area(polygon_difference(C, A)) == pytest.approx(0.0, abs=1e-9)
