@@ -86,6 +86,42 @@ def _op_snap(geoms) -> float:
     return max(SNAP, m * 1e-12)
 
 
+def _snap_geometry(g: Geometry | None, grid: float) -> Geometry | None:
+    """Round every coordinate to the grid (the coarse-retry ladder:
+    near-coincident geometry becomes EXACTLY coincident, for which the
+    shared-boundary rules are exact). Collapsed rings are dropped."""
+    if g is None:
+        return None
+    parts_out = []
+    for p in get_parts(g):
+        if p.type_id != POLYGON:
+            continue
+        rings = []
+        for ring in p.data:
+            arr = np.asarray(ring, dtype=float)[:, :2]
+            r = np.round(arr / grid) * grid
+            keep = np.ones(len(r), dtype=bool)
+            keep[1:] = (r[1:] != r[:-1]).any(axis=1)
+            r = r[keep]
+            if len(r) and (r[0] != r[-1]).any():
+                r = np.vstack([r, r[0]])
+            if len(r) >= 4 and abs(ring_signed_area(r)) > 0:
+                rings.append(r)
+        if rings:
+            parts_out.append(Geometry(POLYGON, rings, p.dims))
+    if not parts_out:
+        return None
+    if len(parts_out) == 1:
+        return parts_out[0]
+    return multi(MULTIPOLYGON, parts_out)
+
+
+# lost-edge fraction above which an overlay retries on a coarse exact
+# grid (200*snap — twice the side-sampling offset, so everything the
+# tolerance machinery reasons about collapses to exact coincidence)
+_LOST_RETRY_FRAC = 1e-3
+
+
 def _poly_edges(poly: Geometry) -> list[tuple[np.ndarray, np.ndarray]]:
     """Directed edges of all rings (shell CCW, holes CW normalized)."""
     edges = []
@@ -354,7 +390,7 @@ def _cluster_nodes(uniq: np.ndarray, radius: int) -> np.ndarray:
 
 def _stitch(
     edges: list[tuple[np.ndarray, np.ndarray]], snap: float = SNAP
-) -> list[np.ndarray]:
+) -> tuple[list[np.ndarray], float]:
     """Assemble directed edges into closed rings. At branching vertices
     pick the most counter-clockwise continuation (keeps minimal rings).
 
@@ -365,17 +401,25 @@ def _stitch(
     overhead (~12% of the union profile). Only when the fast walk
     drops or bridges anything does the robust path re-run with the
     full tolerance machinery.
+
+    Returns ``(rings, lost_frac)`` — the fraction of total edge length
+    that was discarded (repair removals + dangling chains). A material
+    ``lost_frac`` is the callers' signal that the input boundary graph
+    was classification-inconsistent (e.g. N-way near-coincident seams
+    whose pairwise overlap/gap signs disagree) and a coarser-grid
+    retry is warranted; tolerance-scale sliver losses stay far below
+    any threshold.
     """
-    rings, clean = _stitch_core(edges, snap, robust=False)
+    rings, clean, _lost = _stitch_core(edges, snap, robust=False)
     if clean:
-        return rings
-    rings, _ = _stitch_core(edges, snap, robust=True)
-    return rings
+        return rings, 0.0
+    rings, _clean, lost_frac = _stitch_core(edges, snap, robust=True)
+    return rings, lost_frac
 
 
 def _stitch_core(
     edges: list[tuple[np.ndarray, np.ndarray]], snap: float, robust: bool
-) -> tuple[list[np.ndarray], bool]:
+) -> tuple[list[np.ndarray], bool, float]:
     # dedupe identical directed edges, then drop anti-parallel pairs
     # entirely (BOTH members): an edge traversed in both directions is
     # an interior seam between coincident boundaries — keeping either
@@ -389,7 +433,7 @@ def _stitch_core(
     # operand) would otherwise leave a gap wider than one grid cell and
     # the walk would discard the whole ring as an open chain.
     if not edges:
-        return [], True
+        return [], True, 0.0
     a_arr = np.array([e[0] for e in edges])
     b_arr = np.array([e[1] for e in edges])
     ka_all = np.round(a_arr / snap).astype(np.int64)
@@ -431,6 +475,13 @@ def _stitch_core(
         kept_idx.append(i)
     edge_keys = [keys[i] for i in kept_idx]
     edges = [edges[i] for i in kept_idx]
+    # loss accounting (robust mode): reference length BEFORE repair;
+    # everything not emitted into a ring (repair removals + dangling
+    # chains) counts as lost — the caller's catastrophic-loss signal
+    total_len = sum(
+        math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in edges
+    )
+    emitted_len = 0.0
 
     # degree repair (robust mode): in a clean overlay every node has
     # out-degree == in-degree (each face boundary passes through). A
@@ -458,10 +509,10 @@ def _stitch_core(
                 outdeg.get(k, 0) != indeg.get(k, 0)
                 for k in set(outdeg) | set(indeg)
             ):
-                return [], False
+                return [], False, 0.0
             break
         if not robust:
-            return [], False
+            return [], False, 0.0
         drop = min(
             cands,
             key=lambda i: math.hypot(
@@ -499,6 +550,13 @@ def _stitch_core(
                 ring = [edges[e][0] for e in cycle] + [edges[cycle[-1]][1]]
                 if len(cycle) >= 3:
                     rings.append(np.array(ring))
+                    emitted_len += sum(
+                        math.hypot(
+                            edges[e][1][0] - edges[e][0][0],
+                            edges[e][1][1] - edges[e][0][1],
+                        )
+                        for e in cycle
+                    )
                 del stack[i0:]
                 for nk in nodes[i0:]:
                     node_pos.pop(nk, None)
@@ -509,7 +567,7 @@ def _stitch_core(
                 # fast path: a dead end means degenerate input — defer
                 # to the robust re-run (clustered keys + repair +
                 # bridging) instead of discarding anything here
-                return [], False
+                return [], False, 0.0
             if not cands:
                 # dead end: bridge a tolerance-scale gap. Side-sampling
                 # (offset 100*snap) can absorb a connector piece up to
@@ -538,6 +596,13 @@ def _stitch_core(
                     ring = [edges[e][0] for e in cycle] + [edges[cycle[-1]][1]]
                     if len(cycle) >= 3:
                         rings.append(np.array(ring))
+                        emitted_len += sum(
+                            math.hypot(
+                                edges[e][1][0] - edges[e][0][0],
+                                edges[e][1][1] - edges[e][0][1],
+                            )
+                            for e in cycle
+                        )
                     del stack[i0:]
                     for nk in nodes[i0:]:
                         node_pos.pop(nk, None)
@@ -568,7 +633,10 @@ def _stitch_core(
             node_pos[end_key] = len(stack)
             nodes.append(end_key)
             stack.append(nxt)
-    return rings, clean
+    lost_frac = (
+        max(0.0, total_len - emitted_len) / total_len if total_len > 0 else 0.0
+    )
+    return rings, clean, lost_frac
 
 
 def _rings_to_polygons(rings: list[np.ndarray], dims: str = "xy") -> Geometry | None:
@@ -610,7 +678,9 @@ def _as_polys(geom: Geometry) -> list[Geometry]:
     return [p for p in get_parts(geom) if p.type_id == POLYGON and p.data]
 
 
-def polygon_difference(a: Geometry, b: Geometry) -> Geometry | None:
+def polygon_difference(
+    a: Geometry, b: Geometry, _snapped: bool = False
+) -> Geometry | None:
     """A \\ B for (multi)polygons; None when empty."""
     pa, pb = _as_polys(a), _as_polys(b)
     if not pa:
@@ -662,11 +732,24 @@ def polygon_difference(a: Geometry, b: Geometry) -> Geometry | None:
         mid = (p + q) / 2 + off
         if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
             keep.append((q, p))
-    rings = _stitch(keep, snap)
+    rings, lost = _stitch(keep, snap)
+    if lost > _LOST_RETRY_FRAC and not _snapped:
+        # classification-inconsistent boundary graph (e.g. N-way
+        # near-coincident seams): retry with exactly-coincident inputs
+        grid = snap * 200
+        a2 = _snap_geometry(a, grid)
+        b2 = _snap_geometry(b, grid)
+        if a2 is None:
+            return None
+        if b2 is None:
+            return a2
+        return polygon_difference(a2, b2, _snapped=True)
     return _rings_to_polygons(rings, a.dims)
 
 
-def polygon_intersection(a: Geometry, b: Geometry) -> Geometry | None:
+def polygon_intersection(
+    a: Geometry, b: Geometry, _snapped: bool = False
+) -> Geometry | None:
     pa, pb = _as_polys(a), _as_polys(b)
     if not pa or not pb:
         return None
@@ -707,11 +790,20 @@ def polygon_intersection(a: Geometry, b: Geometry) -> Geometry | None:
             if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
                 keep.append((p, q))
                 seen.add((_key(p, snap), _key(q, snap)))
-    rings = _stitch(keep, snap)
+    rings, lost = _stitch(keep, snap)
+    if lost > _LOST_RETRY_FRAC and not _snapped:
+        grid = snap * 200
+        a2 = _snap_geometry(a, grid)
+        b2 = _snap_geometry(b, grid)
+        if a2 is None or b2 is None:
+            return None
+        return polygon_intersection(a2, b2, _snapped=True)
     return _rings_to_polygons(rings, a.dims)
 
 
-def polygon_union(polys: list[Geometry]) -> Geometry | None:
+def polygon_union(
+    polys: list[Geometry], _snapped: bool = False
+) -> Geometry | None:
     """N-ary union: keep boundary edges not strictly inside any other
     input polygon; anti-directed shared edges cancel."""
     flat = [p for g in polys for p in _as_polys(g)]
@@ -802,7 +894,13 @@ def polygon_union(polys: list[Geometry]) -> Geometry | None:
         for k, (p1, p2) in enumerate(noded):
             if not inside_any[k] and not onb_any[k]:
                 keep.append((p1, p2))
-    rings = _stitch(keep, snap)
+    rings, lost = _stitch(keep, snap)
+    if lost > _LOST_RETRY_FRAC and not _snapped:
+        grid = snap * 200
+        snapped = [g for g in (_snap_geometry(p, grid) for p in flat) if g is not None]
+        if not snapped:
+            return None
+        return polygon_union(snapped, _snapped=True)
     return _rings_to_polygons(rings, flat[0].dims)
 
 
@@ -902,7 +1000,7 @@ def dissolve_partition(polys: list[Geometry]) -> Geometry | None:
         return True
 
     ok = _emit(vert, True) and _emit(horiz, False)
-    result = _rings_to_polygons(_stitch(keep), flat[0].dims) if ok else None
+    result = _rings_to_polygons(_stitch(keep)[0], flat[0].dims) if ok else None
     target = sum(polygon_area(p) for p in flat)
     if (
         result is None

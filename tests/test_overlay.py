@@ -169,7 +169,7 @@ def test_stitch_drops_anti_parallel_duplicate_pair():
         (np.array([0.0, 0.0]), np.array([0.5, 0.5])),
         (np.array([0.5, 0.5]), np.array([0.0, 0.0])),
     ]
-    rings = _stitch(sq + seam)
+    rings, _lost = _stitch(sq + seam)
     assert len(rings) == 1
     ring = rings[0]
     # the square survives intact; the seam vertex never appears
@@ -436,3 +436,38 @@ def test_shared_boundary_multipolygon_cases():
     ])
     assert area(polygon_difference(A, C)) == pytest.approx(16.0)
     assert area(polygon_difference(C, A)) == pytest.approx(0.0, abs=1e-9)
+
+
+@pytest.mark.parametrize("n,eps", [(4, 0.0), (6, 0.0), (6, 1e-9), (6, 1e-7), (8, 1e-7), (12, 1e-7)])
+def test_pie_slice_parcels_union(n, eps):
+    """N parcels around one center point (pie slices): every pair
+    shares a radial edge and ALL share the center vertex, per-slice
+    perturbed by eps. With eps at ~100*snap the pairwise overlap/gap
+    signs disagree and the boundary graph goes classification-
+    inconsistent — the lost-edge fraction triggers the coarse-grid
+    retry (exactly-coincident inputs), which used to be a catastrophic
+    5/6-area loss."""
+    import math
+
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.overlay import polygon_difference, polygon_union
+
+    cx, cy, R = 10.0, 10.0, 5.0
+    slices = []
+    for k in range(n):
+        a0 = 2 * math.pi * k / n
+        a1 = 2 * math.pi * (k + 1) / n
+        p0 = (cx + R * math.cos(a0), cy + R * math.sin(a0))
+        p1 = (cx + R * math.cos(a1), cy + R * math.sin(a1))
+        c = (cx + (k % 3 - 1) * eps, cy + (k % 2) * eps)
+        slices.append(polygon([c, p0, p1]))
+    want = sum(polygon_area(s) for s in slices)
+    u = polygon_union(slices)
+    assert u is not None
+    assert abs(polygon_area(u) - want) < 1e-6 + eps * 5000
+    # a slice differenced against the union of the others keeps ~its area
+    rest = polygon_union(slices[1:])
+    d = polygon_difference(slices[0], rest)
+    assert d is not None
+    assert abs(polygon_area(d) - polygon_area(slices[0])) < 1e-6 + eps * 5000
