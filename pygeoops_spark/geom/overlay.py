@@ -122,6 +122,27 @@ def _snap_geometry(g: Geometry | None, grid: float) -> Geometry | None:
 _LOST_RETRY_FRAC = 1e-3
 
 
+def _area_of(g: Geometry | None) -> float:
+    from pygeoops_spark.geom.kernels import polygon_area
+
+    return 0.0 if g is None else polygon_area(g)
+
+
+def _hull_area(polys: list[Geometry]) -> float:
+    """Convex-hull area of all shell vertices — a cheap upper bound on
+    any union of the inputs (catches double-counted near-duplicate
+    rings that per-ring checks cannot see)."""
+    from pygeoops_spark.geom.kernels import convex_hull_coords
+
+    pts = [np.asarray(p.data[0], dtype=float)[:, :2] for p in polys if p.data]
+    if not pts:
+        return 0.0
+    hull = convex_hull_coords(np.vstack(pts))
+    if len(hull) < 4:
+        return 0.0
+    return abs(ring_signed_area(np.asarray(hull)))
+
+
 def _poly_edges(poly: Geometry) -> list[tuple[np.ndarray, np.ndarray]]:
     """Directed edges of all rings (shell CCW, holes CW normalized)."""
     edges = []
@@ -733,18 +754,24 @@ def polygon_difference(
         if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
             keep.append((q, p))
     rings, lost = _stitch(keep, snap)
-    if lost > _LOST_RETRY_FRAC and not _snapped:
-        # classification-inconsistent boundary graph (e.g. N-way
-        # near-coincident seams): retry with exactly-coincident inputs
-        grid = snap * 200
-        a2 = _snap_geometry(a, grid)
-        b2 = _snap_geometry(b, grid)
-        if a2 is None:
-            return None
-        if b2 is None:
-            return a2
-        return polygon_difference(a2, b2, _snapped=True)
-    return _rings_to_polygons(rings, a.dims)
+    result = _rings_to_polygons(rings, a.dims)
+    if not _snapped:
+        # retry with exactly-coincident inputs when the boundary graph
+        # was classification-inconsistent (material edge loss) or the
+        # result violates A \ B <= A (double-counted near-duplicate
+        # rings survive the clean walk undetected)
+        aa = sum(_area_of(p) for p in pa)
+        bad = lost > _LOST_RETRY_FRAC or _area_of(result) > aa * (1 + 1e-7) + snap
+        if bad:
+            grid = snap * 200
+            a2 = _snap_geometry(a, grid)
+            b2 = _snap_geometry(b, grid)
+            if a2 is None:
+                return None
+            if b2 is None:
+                return a2
+            return polygon_difference(a2, b2, _snapped=True)
+    return result
 
 
 def polygon_intersection(
@@ -791,14 +818,18 @@ def polygon_intersection(
                 keep.append((p, q))
                 seen.add((_key(p, snap), _key(q, snap)))
     rings, lost = _stitch(keep, snap)
-    if lost > _LOST_RETRY_FRAC and not _snapped:
-        grid = snap * 200
-        a2 = _snap_geometry(a, grid)
-        b2 = _snap_geometry(b, grid)
-        if a2 is None or b2 is None:
-            return None
-        return polygon_intersection(a2, b2, _snapped=True)
-    return _rings_to_polygons(rings, a.dims)
+    result = _rings_to_polygons(rings, a.dims)
+    if not _snapped:
+        bound = min(sum(_area_of(p) for p in pa), sum(_area_of(p) for p in pb))
+        bad = lost > _LOST_RETRY_FRAC or _area_of(result) > bound * (1 + 1e-7) + snap
+        if bad:
+            grid = snap * 200
+            a2 = _snap_geometry(a, grid)
+            b2 = _snap_geometry(b, grid)
+            if a2 is None or b2 is None:
+                return None
+            return polygon_intersection(a2, b2, _snapped=True)
+    return result
 
 
 def polygon_union(
@@ -895,13 +926,18 @@ def polygon_union(
             if not inside_any[k] and not onb_any[k]:
                 keep.append((p1, p2))
     rings, lost = _stitch(keep, snap)
-    if lost > _LOST_RETRY_FRAC and not _snapped:
-        grid = snap * 200
-        snapped = [g for g in (_snap_geometry(p, grid) for p in flat) if g is not None]
-        if not snapped:
-            return None
-        return polygon_union(snapped, _snapped=True)
-    return _rings_to_polygons(rings, flat[0].dims)
+    result = _rings_to_polygons(rings, flat[0].dims)
+    if not _snapped:
+        bad = lost > _LOST_RETRY_FRAC
+        if not bad and result is not None:
+            bad = _area_of(result) > _hull_area(flat) * (1 + 1e-7) + snap
+        if bad:
+            grid = snap * 200
+            snapped = [g for g in (_snap_geometry(p, grid) for p in flat) if g is not None]
+            if not snapped:
+                return None
+            return polygon_union(snapped, _snapped=True)
+    return result
 
 
 def dissolve_partition(polys: list[Geometry]) -> Geometry | None:

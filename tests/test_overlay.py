@@ -471,3 +471,29 @@ def test_pie_slice_parcels_union(n, eps):
     d = polygon_difference(slices[0], rest)
     assert d is not None
     assert abs(polygon_area(d) - polygon_area(slices[0])) < 1e-6 + eps * 5000
+
+
+@pytest.mark.parametrize("eps", [0.0, 1e-9, 1e-8, 1e-7])
+def test_near_identical_operands(eps):
+    """A vs a per-vertex-jittered copy of itself: at snap-scale jitter
+    BOTH co-directed boundaries used to survive the clean stitch walk
+    and the intersection/union reported DOUBLE the area; the area
+    invariants (inter <= min, union <= hull) now trigger the
+    coarse-grid retry."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.overlay import (
+        polygon_difference,
+        polygon_intersection,
+        polygon_union,
+    )
+
+    def area(g):
+        return 0.0 if g is None else polygon_area(g)
+
+    A = polygon([(0, 0), (7, 0), (9, 6), (2, 8)])
+    B = polygon([(0 + eps, 0), (7, 0 - eps), (9 - eps, 6), (2, 8 + eps)])
+    tol = 1e-6 + eps * 100
+    assert area(polygon_difference(A, B)) < tol
+    assert abs(area(polygon_intersection(A, B)) - 51.0) < tol
+    assert abs(area(polygon_union([A, B])) - 51.0) < tol
