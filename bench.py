@@ -155,7 +155,9 @@ def _run_difference_tiled(spark, n_polys: int = 200) -> int:
         for sx, sy in [(i * 110.0, i * 70.0) for i in range(8)]
     ]
 
-    key = (id(spark), n_polys)
+    # applicationId is stable per live session and never reused after
+    # stop() the way id() can be once the object is garbage-collected
+    key = (spark.sparkContext.applicationId, n_polys)
     df = _DIFF_TILED_INPUT_CACHE.get(key)
     if df is None:
 

@@ -44,7 +44,10 @@ _EXPORTS = {
     "remove_inner_rings": "pygeoops_spark.geom.general",
     "subdivide": "pygeoops_spark.geom.general",
     "make_valid": "pygeoops_spark.geom.validity",
+    "explode": "pygeoops_spark.geom.general",
     "format_short": "pygeoops_spark.geom.types",
+    "GeometryType": "pygeoops_spark.geom.types",
+    "PrimitiveType": "pygeoops_spark.geom.types",
     "get_primitivetype_id": "pygeoops_spark.geom.kernels",
     "empty": "pygeoops_spark.geom.wkb",
     "wkb_dumps": "pygeoops_spark.geom.wkb",

@@ -130,6 +130,20 @@ def collection_extract(geom: Geometry | None, primitivetype_id: int) -> Geometry
     return collect(kept)
 
 
+def explode(geom: Geometry | None) -> list[Geometry] | None:
+    """Deprecated alias: parts of the input as a list (the reference's
+    `explode`, /root/reference/pygeoops/_general.py:243-259, which
+    warns and delegates to shapely.get_parts). None passes through."""
+    import warnings
+
+    warnings.warn(
+        "Deprecated: use get_parts() instead", DeprecationWarning, stacklevel=2
+    )
+    if geom is None:
+        return None
+    return get_parts(geom)
+
+
 def get_parts_recursive(geom: Geometry | None) -> list[Geometry]:
     """Flatten nested multiparts into simple geometries."""
     if geom is None:

@@ -660,7 +660,9 @@ def _stitch_core(
     return rings, clean, lost_frac
 
 
-def _rings_to_polygons(rings: list[np.ndarray], dims: str = "xy") -> Geometry | None:
+def _rings_to_polygons(
+    rings: list[np.ndarray], dims: str = "xy", snap: float = 0.0
+) -> Geometry | None:
     shells, holes = [], []
     for r in rings:
         if len(r) < 4:
@@ -672,7 +674,15 @@ def _rings_to_polygons(rings: list[np.ndarray], dims: str = "xy") -> Geometry | 
         if r[-1, 0] != r[0, 0] or r[-1, 1] != r[0, 1]:
             r = np.vstack([r, r[0]])
         area = ring_signed_area(r)
-        if abs(area) < SNAP:
+        # min-area filter is scale-relative like the noding tolerance:
+        # node clustering / gap bridging can produce sliver rings of
+        # width up to ~2*snap whose area (width*perimeter/2) exceeds
+        # the absolute SNAP floor at projected-CRS magnitudes; a ring
+        # thinner than 2*snap is below the noding resolution and is
+        # stitching debris, not geometry
+        seg = np.diff(r, axis=0)
+        perim = float(np.hypot(seg[:, 0], seg[:, 1]).sum())
+        if abs(area) < max(SNAP, snap * perim):
             continue
         (shells if area > 0 else holes).append(r)
     if not shells:
@@ -754,7 +764,7 @@ def polygon_difference(
         if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
             keep.append((q, p))
     rings, lost = _stitch(keep, snap)
-    result = _rings_to_polygons(rings, a.dims)
+    result = _rings_to_polygons(rings, a.dims, snap)
     if not _snapped:
         # retry with exactly-coincident inputs when the boundary graph
         # was classification-inconsistent (material edge loss) or the
@@ -818,7 +828,7 @@ def polygon_intersection(
                 keep.append((p, q))
                 seen.add((_key(p, snap), _key(q, snap)))
     rings, lost = _stitch(keep, snap)
-    result = _rings_to_polygons(rings, a.dims)
+    result = _rings_to_polygons(rings, a.dims, snap)
     if not _snapped:
         bound = min(sum(_area_of(p) for p in pa), sum(_area_of(p) for p in pb))
         bad = lost > _LOST_RETRY_FRAC or _area_of(result) > bound * (1 + 1e-7) + snap
@@ -926,7 +936,7 @@ def polygon_union(
             if not inside_any[k] and not onb_any[k]:
                 keep.append((p1, p2))
     rings, lost = _stitch(keep, snap)
-    result = _rings_to_polygons(rings, flat[0].dims)
+    result = _rings_to_polygons(rings, flat[0].dims, snap)
     if not _snapped:
         bad = lost > _LOST_RETRY_FRAC
         if not bad and result is not None:

@@ -51,7 +51,7 @@ import math
 import numpy as np
 
 from pygeoops_spark.geom.kernels import points_in_polygon, ring_signed_area
-from pygeoops_spark.geom.overlay import _key, _node_edges, _rings_to_polygons, _stitch
+from pygeoops_spark.geom.overlay import _key, _node_edges, _rings_to_polygons
 from pygeoops_spark.geom.wkb import (
     Geometry,
     GEOMETRYCOLLECTION,

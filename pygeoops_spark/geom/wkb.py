@@ -393,9 +393,16 @@ def _wkt_parse(text: str, pos: int) -> tuple[Geometry, int]:
             # MULTIPOLYGON (((...)), ((...)))
             g, pos = _wkt_parse(f"{child_name} ", 0) if False else _wkt_parse_body(child_name, dims, text, p)
             parts.append(g)
+        elif type_id == MULTIPOINT:
+            # MULTIPOINT (1 2, 3 4) legacy form: bare coordinate tuples
+            end = p
+            while end < len(text) and text[end] not in ",)":
+                end += 1
+            vals = np.array(text[p:end].split(), dtype=np.float64)
+            d = dims if len(vals) == k else {2: "xy", 3: "xyz", 4: "xyzm"}[len(vals)]
+            parts.append(Geometry(POINT, vals, d))
+            pos = end
         else:
-            # MULTIPOINT (1 2, 3 4) legacy form
-            end = _match_paren(text, _find_open(text, pos) )
             raise ValueError(f"unsupported WKT form at {p}: {text[p:p+30]!r}")
     return Geometry(type_id, parts, parts[0].dims if parts else dims), pos
 

@@ -157,20 +157,30 @@ def run_checkpointed(
         total["rows_out"] += r["rows_out"]
         return total
     # batched commits: the todo key list is metadata-scale (one value
-    # per partition); sorted for a deterministic commit order
-    keys = [r[0] for r in todo.select(part_col).distinct().collect()]
-    keys.sort(key=lambda v: (v is None, v))
-    for bi in range(0, len(keys), batch_partitions):
-        batch_keys = keys[bi : bi + batch_partitions]
-        non_null = [k for k in batch_keys if k is not None]
-        cond = F.col(part_col).isin(non_null) if non_null else F.lit(False)
-        if any(k is None for k in batch_keys):
-            cond = cond | F.col(part_col).isNull()
-        r = _write_batch(spark, todo.where(cond), base, part_col, df.columns)
-        total["written"] += r["written"]
-        total["rows_out"] += r["rows_out"]
-        if on_batch is not None:
-            on_batch(bi // batch_partitions)
+    # per partition); sorted for a deterministic commit order.
+    # `todo` is persisted BEFORE the key collect so the upstream plan
+    # evaluates exactly once: with a nondeterministic upstream
+    # (rand/sampling), a row whose key differed between the key scan
+    # and a later batch-filter scan could fall outside every batch
+    # predicate and be silently dropped — and it saves one full
+    # upstream recompute per batch besides.
+    todo = todo.persist()
+    try:
+        keys = [r[0] for r in todo.select(part_col).distinct().collect()]
+        keys.sort(key=lambda v: (v is None, v))
+        for bi in range(0, len(keys), batch_partitions):
+            batch_keys = keys[bi : bi + batch_partitions]
+            non_null = [k for k in batch_keys if k is not None]
+            cond = F.col(part_col).isin(non_null) if non_null else F.lit(False)
+            if any(k is None for k in batch_keys):
+                cond = cond | F.col(part_col).isNull()
+            r = _write_batch(spark, todo.where(cond), base, part_col, df.columns)
+            total["written"] += r["written"]
+            total["rows_out"] += r["rows_out"]
+            if on_batch is not None:
+                on_batch(bi // batch_partitions)
+    finally:
+        todo.unpersist()
     return total
 
 

@@ -33,6 +33,26 @@ def test_reference_public_names_covered():
         assert callable(getattr(pygeoops_spark, name)), name
 
 
+def test_type_enums_and_explode_top_level():
+    # reference namespace parity for the remaining names: the type
+    # enums (_types.py star-export) and the deprecated explode
+    from pygeoops_spark.geom.types import GeometryType, PrimitiveType
+    from pygeoops_spark.geom.wkb import wkt_loads
+
+    assert pygeoops_spark.GeometryType is GeometryType
+    assert pygeoops_spark.PrimitiveType is PrimitiveType
+
+    import warnings
+
+    g = wkt_loads("MULTIPOINT (0 0, 1 1)")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parts = pygeoops_spark.explode(g)
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)
+    assert len(parts) == 2
+    assert pygeoops_spark.explode(None) is None
+
+
 def test_unknown_name_raises():
     try:
         pygeoops_spark.not_a_real_name
