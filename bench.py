@@ -321,6 +321,31 @@ def _scaling_worker(cpus: int) -> None:
     )
 
 
+# Host-drift normalization (VERDICT r05 task 2): the shared host's
+# same-code wall time swung 1.7x across round 5 from an external
+# tenant, drowning cross-round comparisons. A fixed single-thread
+# numpy workload (sort + hypot over 2M doubles — no multi-threaded
+# BLAS, so it measures ONE core's effective speed) is timed
+# immediately before each query group; reported raw times are
+# accompanied by probe-normalized times raw * (REF/probe). REF was
+# calibrated on this host at loadavg < 0.7 (~40 ms, min-of-3).
+REF_PROBE_MS = 40.0
+
+
+def _cpu_probe_ms() -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(12345)
+    a = rng.random(2_000_000)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = np.sort(a)
+        float(np.hypot(b[:-1], b[1:]).sum())
+        best = min(best, (time.perf_counter() - t0) * 1000)
+    return round(best, 2)
+
+
 def main() -> None:
     worker = os.environ.get("SPARK_GRAFT_SCALING_WORKER")
     if worker:
@@ -345,7 +370,14 @@ def main() -> None:
     spark.range(1000).select(_warm("id")).count()
 
     qs = entrymod.queries()
+    probes: dict[str, float] = {}
+    seg_of: dict[str, str] = {}  # query name -> probe segment
+
+    def _probe(segment: str) -> None:
+        probes[segment] = _cpu_probe_ms()
+
     t_total0 = time.time()
+    _probe("driver_queries")
     for name in BENCH_QUERIES:
         if name not in qs:
             continue
@@ -354,6 +386,7 @@ def main() -> None:
         n = df.count()
         dt = time.time() - t0
         results[name] = round(dt, 3)
+        seg_of[name] = "driver_queries"
         throughput[name + "_rows_out"] = n
 
     # streaming throughput: events replayed per second through the
@@ -366,6 +399,7 @@ def main() -> None:
         )
 
     # geographic kNN at throughput scale (200k probes x 2k targets)
+    _probe("throughput")
     t0 = time.time()
     n_p = _run_geo_knn(spark)
     dt = time.time() - t0
@@ -383,6 +417,7 @@ def main() -> None:
     # simplify rdp/lang/lang+ over 50k densified polygons, buffer_by_m
     # over 20k 7-vertex M-lines, centerline over elongated rectangles
     kern_scale = float(os.environ.get("SPARK_GRAFT_BENCH_GEOM_SCALE", "1.0"))
+    _probe("kernels")
     n50 = max(int(50_000 * kern_scale), 1000)
     for alg, label in (("rdp", "simplify_50k"), ("lang", "simplify_lang_50k"), ("lang+", "simplify_langplus_50k")):
         t0 = time.time()
@@ -409,6 +444,7 @@ def main() -> None:
     # persists the input cache, so the timed run measures the
     # difference pipeline itself rather than input generation
     n_d = max(int(200 * kern_scale), 50)
+    _probe("difference")
     _run_difference_tiled(spark, n_d)
     t0 = time.time()
     _run_difference_tiled(spark, n_d)
@@ -416,7 +452,21 @@ def main() -> None:
     results["difference_tiled_200"] = round(dt, 3)
     throughput["difference_geoms_per_sec"] = round(n_d / dt, 1)
 
+    _probe("end")
     total = time.time() - t_total0
+    seg_of.update({
+        "geo_knn_200k": "throughput", "flagship_pip_tile": "throughput",
+        "simplify_50k": "kernels", "simplify_lang_50k": "kernels",
+        "simplify_langplus_50k": "kernels", "buffer_by_m_20k": "kernels",
+        "centerline_8k": "kernels", "difference_tiled_200": "difference",
+    })
+    # normalized[name] = raw * REF/probe(segment): what the query would
+    # have cost on the calibration-quiet host (probe floor at REF so a
+    # probe faster than calibration never inflates times)
+    normalized = {
+        name: round(t * REF_PROBE_MS / max(probes.get(seg_of.get(name, "end"), REF_PROBE_MS), REF_PROBE_MS), 3)
+        for name, t in results.items()
+    }
 
     _text_scaling_out = None
     if os.environ.get("SPARK_GRAFT_TEXT_SCALING", "0") == "1":
@@ -488,6 +538,8 @@ def main() -> None:
         "queries": results,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "throughput": throughput,
+        "probe_ms": {"ref": REF_PROBE_MS, **probes},
+        "queries_normalized": normalized,
     }
     if _text_scaling_out is not None:
         out["text_scaling"] = _text_scaling_out

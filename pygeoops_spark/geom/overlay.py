@@ -709,6 +709,50 @@ def _as_polys(geom: Geometry) -> list[Geometry]:
     return [p for p in get_parts(geom) if p.type_id == POLYGON and p.data]
 
 
+def _codirected_near_duplicate(
+    kept_a: list[tuple[np.ndarray, np.ndarray]],
+    kept_b: list[tuple[np.ndarray, np.ndarray]],
+    snap: float,
+) -> bool:
+    """True when some kept B-side shared edge lies within the noding
+    tolerance of a CO-DIRECTED kept A-side shared edge without being
+    bit-identical to it: the double-keep signature of a sub-tolerance
+    strip bounded twice (once per rule). Distance is point-to-segment
+    (the two chains may be cut at different nodes). Both lists are
+    boundary-scale small, so the pairwise scan is cheap."""
+    tol = snap * 20
+    for p2, q2 in kept_b:
+        m2 = (p2 + q2) / 2
+        d2 = q2 - p2
+        l2 = math.hypot(d2[0], d2[1])
+        if l2 == 0:
+            continue
+        for p1, q1 in kept_a:
+            d1 = q1 - p1
+            l1 = math.hypot(d1[0], d1[1])
+            if l1 == 0:
+                continue
+            # co-directed: parallel within tolerance and same sense
+            if d1[0] * d2[0] + d1[1] * d2[1] <= 0:
+                continue
+            if abs(d1[0] * d2[1] - d1[1] * d2[0]) > tol * (l1 + l2):
+                continue
+            # midpoint of the B edge within tol of the A segment
+            t = ((m2 - p1) @ d1) / (l1 * l1)
+            t = min(1.0, max(0.0, t))
+            c = p1 + t * d1
+            if math.hypot(m2[0] - c[0], m2[1] - c[1]) > tol:
+                continue
+            # exactly-coincident duplicates collapse in _stitch
+            if (
+                p1[0] == p2[0] and p1[1] == p2[1]
+                and q1[0] == q2[0] and q1[1] == q2[1]
+            ):
+                continue
+            return True
+    return False
+
+
 def polygon_difference(
     a: Geometry, b: Geometry, _snapped: bool = False
 ) -> Geometry | None:
@@ -736,6 +780,7 @@ def polygon_difference(
     # the A-interior side is outside B — approximated by sampling a
     # point just left of the edge (A interior) and testing against B.
     shared_idx = np.nonzero(ca == 0)[0]
+    kept_shared_a: list[tuple[np.ndarray, np.ndarray]] = []
     for i in shared_idx:
         p, q = na[i]
         d = q - p
@@ -747,12 +792,14 @@ def polygon_difference(
         mid = (p + q) / 2 + off
         if not points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), b)[0]:
             keep.append((p, q))
+            kept_shared_a.append((p, q))
     # B-edges on A's boundary: the result can be bounded by B's own
     # boundary inside a sub-tolerance strip (B's edge hugging A's edge
     # from inside, classified 0 rather than 1). Keep reversed iff B's
     # RIGHT side (its exterior) lies inside A — that is where A \ B
     # lives. Exact-shared duplicates collapse in _stitch; tolerance-
     # zone double-keeps are removed by its degree repair.
+    kept_shared_b: list[tuple[np.ndarray, np.ndarray]] = []
     for i in np.nonzero(cb == 0)[0]:
         p, q = nb[i]
         d = q - p
@@ -763,6 +810,7 @@ def polygon_difference(
         mid = (p + q) / 2 + off
         if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
             keep.append((q, p))
+            kept_shared_b.append((q, p))
     rings, lost = _stitch(keep, snap)
     result = _rings_to_polygons(rings, a.dims, snap)
     if not _snapped:
@@ -772,6 +820,16 @@ def polygon_difference(
         # rings survive the clean walk undetected)
         aa = sum(_area_of(p) for p in pa)
         bad = lost > _LOST_RETRY_FRAC or _area_of(result) > aa * (1 + 1e-7) + snap
+        # both shared-edge rules bounding the SAME tolerance strip
+        # double-subtract when each survives as a complete ring (e.g. a
+        # plug hugging a hole at sub-tolerance offset: A's hole ring
+        # AND B's reversed boundary both kept, co-directed, a few snap
+        # cells apart — complete cycles pass the clean fast-path walk,
+        # so neither dedup nor degree repair fires, and the result is
+        # SMALLER than A, which the area trigger above cannot see).
+        # Exactly-coincident pairs collapse in _stitch and are skipped.
+        if not bad and kept_shared_a and kept_shared_b:
+            bad = _codirected_near_duplicate(kept_shared_a, kept_shared_b, snap)
         if bad:
             grid = snap * 200
             a2 = _snap_geometry(a, grid)

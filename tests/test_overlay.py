@@ -497,3 +497,40 @@ def test_near_identical_operands(eps):
     assert area(polygon_difference(A, B)) < tol
     assert abs(area(polygon_intersection(A, B)) - 51.0) < tol
     assert abs(area(polygon_union([A, B])) - 51.0) < tol
+
+
+def test_hole_plug_jitter_difference_no_double_subtract():
+    """Round-6 counterexample (found by the symdiff/holes-under-jitter
+    sweeps): B = the plug of A's hole shifted by eps < noding tolerance.
+    Both shared-edge rules kept a complete co-directed ring (A's hole
+    ring AND B's reversed boundary), double-subtracting the hole area —
+    and the result being SMALLER than A evaded the area trigger. The
+    co-directed near-duplicate detector now routes this onto the
+    coarse-grid retry ladder."""
+    from pygeoops_spark.geom import polygon
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.overlay import (
+        polygon_difference,
+        polygon_intersection,
+        polygon_union,
+    )
+
+    def area(g):
+        return 0.0 if g is None else polygon_area(g)
+
+    for eps in (0.0, 1e-12, 1e-9, 1e-7):
+        for sgn in (-1.0, 1.0):
+            d = eps * sgn
+            A = polygon(
+                [(0, 0), (8, 0), (8, 8), (0, 8)],
+                holes=[[(2.4, 2.4), (5.6, 2.4), (5.6, 5.6), (2.4, 5.6)]],
+            )
+            B = polygon(
+                [(2.4 + d, 2.4 + d), (5.6 + d, 2.4 + d),
+                 (5.6 + d, 5.6 + d), (2.4 + d, 5.6 + d)]
+            )
+            tol = 1e-6 + eps * 100
+            assert abs(area(polygon_difference(A, B)) - 53.76) < tol, (eps, sgn)
+            assert abs(area(polygon_difference(B, A)) - 10.24) < tol, (eps, sgn)
+            assert abs(area(polygon_union([A, B])) - 64.0) < tol, (eps, sgn)
+            assert area(polygon_intersection(A, B)) < tol, (eps, sgn)

@@ -430,3 +430,138 @@ def test_concave_adjacent_parcels(t):
     assert abs(_area(polygon_difference(right, left)) - ra) < tol
     u = _area(polygon_union([left, right]))
     assert abs(u - wa) < tol
+
+
+# -- symmetric-difference identity: two independent kernel paths ------------
+# area(A △ B) computed CONSTRUCTIVELY as |(A\B) ∪ (B\A)| (difference +
+# union kernels) must equal |A| + |B| − 2·|A ∩ B| (intersection kernel).
+# The retry ladder's triggers (lost_frac, area envelopes) are
+# necessary-condition heuristics; a wrong result that preserves edge
+# length inside the envelopes would pass them silently — but it cannot
+# satisfy this cross-path identity, because the two sides never share a
+# code path past noding.
+def _symdiff_area(a, b) -> float:
+    ab = polygon_difference(a, b)
+    ba = polygon_difference(b, a)
+    parts = [g for g in (ab, ba) if g is not None]
+    if not parts:
+        return 0.0
+    return _area(polygon_union(parts))
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(boxes(), boxes())
+def test_symdiff_identity_boxes(a, b):
+    expected = polygon_area(a) + polygon_area(b) - 2 * _rect_intersection_area(a, b)
+    assert abs(_symdiff_area(a, b) - expected) < 1e-9
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(convex_polys(), convex_polys())
+def test_symdiff_identity_convex(a, b):
+    # error model for the constructive path: (A\B) and (B\A) share a
+    # boundary whose vertices come from two different interpolation
+    # paths (ulps apart), so their union absorbs connector slivers of
+    # width <= 100*snap along the shared perimeter (<~130 here) —
+    # honest bound ~1.3e-5, far below any face-loss failure mode
+    inter = _area(polygon_intersection(a, b))
+    expected = polygon_area(a) + polygon_area(b) - 2 * inter
+    assert abs(_symdiff_area(a, b) - expected) < 2e-5
+
+
+@settings(max_examples=_n(150), deadline=None)
+@given(parcel_pairs())
+def test_symdiff_identity_adjacent_parcels(t):
+    # shared/near-shared boundary: A △ B must reassemble (to tolerance)
+    # the whole polygon the parcels were split from
+    if t is None:
+        return
+    a, b, whole, eps = t
+    aa, ab = polygon_area(a), polygon_area(b)
+    if aa < 1e-6 or ab < 1e-6:
+        return
+    tol = 2e-5 + eps * 500  # incl. shared-sliver absorption (see convex)
+    inter = _area(polygon_intersection(a, b))
+    got = _symdiff_area(a, b)
+    assert abs(got - (aa + ab - 2 * inter)) < 2 * tol
+    assert abs(got - polygon_area(whole)) < 2 * tol
+
+
+@settings(max_examples=_n(100), deadline=None)
+@given(concave_parcel_pairs())
+def test_symdiff_identity_concave_parcels(t):
+    left, right, whole, eps = t
+    tol = 2e-5 + eps * 500  # incl. shared-sliver absorption (see convex)
+    inter = _area(polygon_intersection(left, right))
+    got = _symdiff_area(left, right)
+    expected = polygon_area(left) + polygon_area(right) - 2 * inter
+    assert abs(got - expected) < 2 * tol
+    assert abs(got - polygon_area(whole)) < 2 * tol
+
+
+# -- holes under jitter ------------------------------------------------------
+@st.composite
+def holed_jitter_cases(draw):
+    """A holed square A vs one of {plug, half-plug, shell-to-hole
+    bridge} B (the pinned shared-boundary-with-holes shapes,
+    tests/test_overlay.py:359-394), with EVERY vertex of B — or of A's
+    hole ring — independently jittered by eps ∈ {0, 1e-12, 1e-9, 1e-7}.
+    The jittered operand turns every exactly-shared hole edge into the
+    near-coincident class the tolerance machinery has to absorb."""
+    x0 = float(draw(st.integers(0, 20)))
+    y0 = float(draw(st.integers(0, 20)))
+    w = float(draw(st.integers(8, 16)))
+    hx0, hy0 = x0 + w * 0.3, y0 + w * 0.3
+    hx1, hy1 = x0 + w * 0.7, y0 + w * 0.7
+    kind = draw(st.sampled_from(["plug", "half", "bridge"]))
+    eps = draw(st.sampled_from([0.0, 1e-12, 1e-9, 1e-7]))
+    jitter_side = draw(st.sampled_from(["b", "hole"]))
+
+    def jit(pts):
+        out = []
+        for px, py in pts:
+            dx = draw(st.sampled_from([-1.0, 0.0, 1.0])) * eps
+            dy = draw(st.sampled_from([-1.0, 0.0, 1.0])) * eps
+            out.append((px + dx, py + dy))
+        return out
+
+    hole = [(hx0, hy0), (hx1, hy0), (hx1, hy1), (hx0, hy1)]
+    if kind == "plug":
+        bpts = list(hole)
+    elif kind == "half":
+        hmx = (hx0 + hx1) / 2
+        bpts = [(hx0, hy0), (hmx, hy0), (hmx, hy1), (hx0, hy1)]
+    else:  # bridge: shell edge -> hole edge
+        bpts = [(x0, hy0), (hx0, hy0), (hx0, hy1), (x0, hy1)]
+    if jitter_side == "b":
+        bpts = jit(bpts)
+    else:
+        hole = jit(hole)
+    shell = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + w), (x0, y0 + w)]
+    a = polygon(shell, holes=[hole])
+    b = polygon(bpts)
+    return a, b, eps
+
+
+@settings(max_examples=_n(200), deadline=None)
+@given(holed_jitter_cases())
+def test_holes_under_jitter_identities(t):
+    """Inclusion-exclusion + difference + symmetric-difference
+    identities over hole-sharing operands at every jitter scale — each
+    identity ties kernel paths together with no shared post-noding
+    code, so a silently wrong overlay cannot satisfy all of them."""
+    a, b, eps = t
+    aa, ab = polygon_area(a), polygon_area(b)
+    # jitter moves each edge by <= eps; affected shared perimeter < 60;
+    # constant term covers shared-sliver absorption on the constructive
+    # symdiff path (see test_symdiff_identity_convex)
+    tol = 2e-5 + eps * 500
+    inter = _area(polygon_intersection(a, b))
+    union = _area(polygon_union([a, b]))
+    diff_ab = _area(polygon_difference(a, b))
+    diff_ba = _area(polygon_difference(b, a))
+    assert abs(union - (aa + ab - inter)) < 2 * tol
+    assert abs(diff_ab - (aa - inter)) < 2 * tol
+    assert abs(diff_ba - (ab - inter)) < 2 * tol
+    got = _symdiff_area(a, b)
+    assert abs(got - (aa + ab - 2 * inter)) < 3 * tol
