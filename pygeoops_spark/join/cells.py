@@ -29,6 +29,56 @@ def cell_size(level: int) -> float:
     return WORLD_SIZE / (1 << level)
 
 
+def auto_level(
+    n_points: int,
+    points_per_cell: float = 16.0,
+    lo: int = 1,
+    hi: int = 12,
+    min_cell: float | None = None,
+) -> int:
+    """Density-derived default cell level (VERDICT r05 task #5).
+
+    Picks L so the grid holds ~``points_per_cell`` points per cell
+    (4^L ≈ n / ppc): candidate blowup per covered cell stays bounded
+    while the broadcast cover stays coarse.  The level grows with
+    log4(n), which is exactly the scaling you want at 100 TB — and it
+    reproduces the hand-tuned level 5 for the driver's 15k-point /
+    64-zone PIP shape.  ``min_cell`` (e.g. median zone span / 8) caps
+    the refinement so tiny cells never explode a zone's cover.
+    """
+    import math
+
+    raw = 0.5 * math.log2(max(1.0, n_points / points_per_cell))
+    level = int(round(raw))
+    if min_cell is not None and min_cell > 0:
+        cap = int(math.floor(math.log2(max(1.0, WORLD_SIZE / min_cell))))
+        level = min(level, cap)
+    return max(lo, min(hi, level))
+
+
+def auto_level_knn(
+    n_targets: int, k: int, radius: int, lo: int = 0, hi: int = 12
+) -> int:
+    """Coarsest level whose initial (2r+1)^2 ring window holds ≥ k
+    targets in expectation (4^L ≤ n_targets*(2r+1)^2/k, floored) —
+    too-fine grids multiply whole-join ring-expansion passes."""
+    import math
+
+    w = (2 * radius + 1) ** 2
+    raw = 0.5 * math.log2(max(1.0, n_targets * w / max(1, k)))
+    return max(lo, min(hi, int(raw)))
+
+
+def zone_span_cap(zones, xmin: str = "xmin", xmax: str = "xmax") -> float:
+    """Median zone x-span / 8 — the ``min_cell`` cap for auto_level.
+    One tiny aggregate on the (small, broadcast-side) zones frame."""
+    row = zones.select(
+        F.percentile_approx(F.col(xmax) - F.col(xmin), 0.5).alias("m")
+    ).first()
+    span = float(row["m"] or 0.0)
+    return span / 8.0 if span > 0 else 0.0
+
+
 def cell_coord(v: Column | str, level: int) -> Column:
     """Integer cell coordinate along one axis, clamped to the world."""
     v = F.col(v) if isinstance(v, str) else v

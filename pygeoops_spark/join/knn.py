@@ -27,7 +27,7 @@ def knn_join(
     probe_key: str,
     target_key: str,
     k: int,
-    level: int = 3,
+    level: int | None = 3,
     radius: int = 2,
     px: str = "x",
     py: str = "y",
@@ -47,6 +47,10 @@ def knn_join(
     long session no longer accumulate storage (the checkpoint itself is
     GC-cleaned with the returned DataFrame).
     """
+    if level is None:
+        from pygeoops_spark.join.cells import auto_level_knn
+
+        level = auto_level_knn(targets.count(), k, radius)
     top_level = _caches is None
     if _caches is None:
         _caches = []

@@ -32,12 +32,23 @@ from pygeoops_spark.geom.wkb import wkb_loads
 from pygeoops_spark.join.cells import cell_id, cover_cells_bbox
 
 
+def _resolve_level(points: DataFrame, zones: DataFrame, level: int | None) -> int:
+    """``level=None`` → density-derived default: points-per-cell ≈ 16,
+    capped so cells never shrink below median-zone-span/8 (one parquet
+    footer count + one tiny aggregate on the small zones side)."""
+    if level is not None:
+        return level
+    from pygeoops_spark.join.cells import auto_level, zone_span_cap
+
+    return auto_level(points.count(), min_cell=zone_span_cap(zones))
+
+
 def pip_join_rects(
     points: DataFrame,
     zones: DataFrame,
     x: str = "x",
     y: str = "y",
-    level: int = 5,
+    level: int | None = 5,
     broadcast_zones: bool = True,
     how: str = "inner",
 ) -> DataFrame:
@@ -45,7 +56,10 @@ def pip_join_rects(
 
     Fully SQL (no UDF): cell equi-join prefilter + BETWEEN exact test.
     Inclusive bounds on all edges (rectangle closed set).
+    ``level=None`` derives the cell level from point density
+    (see _resolve_level; VERDICT r05 task #5).
     """
+    level = _resolve_level(points, zones, level)
     zc = zones.withColumn(
         "_cell", F.explode(cover_cells_bbox("xmin", "ymin", "xmax", "ymax", level))
     )
@@ -68,7 +82,7 @@ def pip_join_polygons(
     x: str = "x",
     y: str = "y",
     zone_geom: str = "zone_wkb",
-    level: int = 5,
+    level: int | None = 5,
     broadcast_zones: bool = True,
 ) -> DataFrame:
     """Join points to arbitrary polygon zones (WKB column + bbox cols).
@@ -76,8 +90,10 @@ def pip_join_polygons(
     Candidates via cell equi-join on the zone bbox cover; the exact
     point-in-polygon runs as an Arrow-batched pandas UDF. Within a
     batch, rows are grouped by zone so each polygon is decoded once
-    (prepared-geometry behavior).
+    (prepared-geometry behavior).  ``level=None`` derives the cell
+    level from point density (see _resolve_level).
     """
+    level = _resolve_level(points, zones, level)
     zc = zones.withColumn(
         "_cell", F.explode(cover_cells_bbox("xmin", "ymin", "xmax", "ymax", level))
     )

@@ -312,6 +312,42 @@ def test_geodesic_inverse_meridian_arc():
     assert az[0] == pytest.approx(0.0, abs=1e-12)  # due north
 
 
+def test_geodesic_inverse_vs_helmert_series():
+    """The driver oracle's truncated Bessel/Helmert meridian-arc
+    series (third-flattening n, fixed public coefficients) must agree
+    with the kernel to well under the 9-decimal rounding granularity
+    (0.01 m) across the driver's meridional pair set — mirrors the
+    geodesic_distance variant-2 oracle in __spark_entry__.py."""
+    from pygeoops_spark.geom.geodesic import geodesic_inverse
+
+    n = WGS84_F / (2.0 - WGS84_F)
+    k = WGS84_A / (1.0 + n)
+    c0 = 1.0 + n * n / 4.0 + n**4 / 64.0
+    c2 = -1.5 * (n - n**3 / 8.0)
+    c4 = (15.0 / 16.0) * (n * n - n**4 / 4.0)
+    c6 = -(35.0 / 48.0) * n**3
+    c8 = (315.0 / 512.0) * n**4
+
+    def arc(lat):
+        p = math.radians(lat)
+        return k * (
+            c0 * p
+            + c2 * math.sin(2 * p)
+            + c4 * math.sin(4 * p)
+            + c6 * math.sin(6 * p)
+            + c8 * math.sin(8 * p)
+        )
+
+    for i in range(64):
+        lon = float((i * 13) % 360 - 180) + 0.5
+        lat1 = float((i * 17) % 140 - 70) + 0.25
+        lat2 = float((i * 29) % 150 - 75) + 0.5
+        if abs(lat1 - lat2) < 0.5:
+            lat2 += 3.0
+        s, _az = geodesic_inverse([lon], [lat1], [lon], [lat2])
+        assert abs(s[0] - abs(arc(lat2) - arc(lat1))) < 1e-3
+
+
 def test_geodesic_inverse_near_antipodal_fallback():
     from pygeoops_spark.geom.geodesic import geodesic_inverse
 
