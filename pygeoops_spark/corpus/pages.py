@@ -78,6 +78,39 @@ def synth_zones(spark: SparkSession, m: int = N_ZONES) -> DataFrame:
     )
 
 
+def synth_poly_zones(
+    spark: SparkSession, m: int = N_ZONES, n_vertices: int = 64
+) -> DataFrame:
+    """The synth_zones rectangles as many-vertex star polygons (WKB).
+
+    Each zone becomes a simple star-convex polygon inscribed in its
+    rectangle: vertices at equal angles around the rect center with a
+    deterministically jittered radius. The bbox columns stay the full
+    rect (a valid, slightly loose cover for the candidate prefilter).
+    Purpose: a PIP workload whose exact-kernel cost per candidate is
+    O(n_vertices), so post-shuffle skew is measurable (the 4-vertex
+    rect kernel is too cheap for the hot task to dominate —
+    BENCH/skew_salted_r06.json). Driver-side build: m is small (zones
+    are the broadcast side by design).
+    """
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+
+    zpd = synth_zones(spark, m).toPandas()
+    wkbs = []
+    for r in zpd.itertuples():
+        cx, cy = (r.xmin + r.xmax) / 2.0, (r.ymin + r.ymax) / 2.0
+        hx, hy = (r.xmax - r.xmin) / 2.0, (r.ymax - r.ymin) / 2.0
+        k = np.arange(n_vertices)
+        theta = 2.0 * np.pi * k / n_vertices
+        rad = 0.55 + 0.40 * (((k * 7919 + r.zone_id * 104729) % 997) / 997.0)
+        pts = np.column_stack(
+            (cx + hx * rad * np.cos(theta), cy + hy * rad * np.sin(theta))
+        )
+        wkbs.append(wkb_dumps(mk_poly([tuple(p) for p in pts])))
+    zpd["zone_wkb"] = wkbs
+    return spark.createDataFrame(zpd)
+
+
 # -- input_hint corpus ----------------------------------------------------
 def with_point_wkb(df: DataFrame, x: str = "x", y: str = "y", out: str = "geom") -> DataFrame:
     """Attach a WKB point geometry column built from x/y (vectorized

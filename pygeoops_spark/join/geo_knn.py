@@ -270,8 +270,10 @@ def geo_pip_join(
     lon: str = "lon",
     lat: str = "lat",
     zone_geom: str = "zone_wkb",
+    zone_id: str = "zone_id",
     level: int | None = 5,
     broadcast_zones: bool = True,
+    ship: str = "prepared",
 ) -> DataFrame:
     """Point-in-polygon join on geographic coordinates (plate-carree
     edge semantics — straight edges in lon/lat space, the same
@@ -287,11 +289,26 @@ def geo_pip_join(
     zones need no special casing in the geometry test.
 
     Same scale shape as join/pip.py: zones explode to cells once and
-    broadcast; the point table is never shuffled."""
+    broadcast; the point table is never shuffled.  ship='prepared'
+    (default) decodes zone geometries once on the driver and ships a
+    broadcast {zone_id: rings} dict — only the 8-byte id rides the
+    candidate rows (16·V bytes per candidate pair otherwise; see
+    join/pip.py). ship='wkb' keeps the column path for zones tables
+    too large to collect."""
     from pyspark.sql.types import BooleanType
 
     from pygeoops_spark.geom.kernels import points_in_polygon
     from pygeoops_spark.geom.wkb import wkb_loads
+    from pygeoops_spark.join.pip import _pip_prepared_udf, _prepare_rings
+
+    if ship == "prepared":
+        bc = points.sparkSession.sparkContext.broadcast(
+            {
+                r[0]: _prepare_rings(bytes(r[1]))
+                for r in zones.select(zone_id, zone_geom).collect()
+            }
+        )
+        zones = zones.drop(zone_geom)
 
     if level is None:
         row = zones.select(
@@ -327,6 +344,14 @@ def geo_pip_join(
         & (F.col(lat) >= F.col("latmin"))
         & (F.col(lat) <= F.col("latmax"))
     )
+
+    if ship == "prepared":
+        # shuffle-free local sort → zone-pure Arrow batches (one big
+        # vectorized kernel call per zone; see join/pip.py)
+        cand = cand.sortWithinPartitions(zone_id)
+        return cand.where(
+            _pip_prepared_udf(bc)(F.col("_plon"), F.col(lat), F.col(zone_id))
+        ).drop("_plon")
 
     @F.pandas_udf(BooleanType())
     def _pip(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:

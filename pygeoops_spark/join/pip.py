@@ -27,8 +27,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType
 
-from pygeoops_spark.geom.kernels import points_in_polygon
-from pygeoops_spark.geom.wkb import wkb_loads
+from pygeoops_spark.geom.kernels import (
+    point_in_polygon_prepared,
+    points_in_polygon,
+)
+from pygeoops_spark.geom.wkb import POLYGON, get_parts, wkb_loads
 from pygeoops_spark.join.cells import cell_id, cover_cells_bbox
 
 
@@ -76,24 +79,58 @@ def pip_join_rects(
     return pts.join(zc, cond, how).drop("_cell")
 
 
+def _prepare_rings(wkb_bytes: bytes) -> list[tuple[np.ndarray, bool]]:
+    """Decode a polygon/multipolygon WKB into [(ring, is_hole), ...]
+    for point_in_polygon_prepared."""
+    rings: list[tuple[np.ndarray, bool]] = []
+    for part in get_parts(wkb_loads(wkb_bytes)):
+        if part.type_id != POLYGON or not part.data:
+            continue
+        rings.append((np.asarray(part.data[0]), False))
+        for hole in part.data[1:]:
+            rings.append((np.asarray(hole), True))
+    return rings
+
+
 def pip_join_polygons(
     points: DataFrame,
     zones: DataFrame,
     x: str = "x",
     y: str = "y",
     zone_geom: str = "zone_wkb",
+    zone_id: str = "zone_id",
     level: int | None = 5,
     broadcast_zones: bool = True,
+    ship: str = "prepared",
 ) -> DataFrame:
     """Join points to arbitrary polygon zones (WKB column + bbox cols).
 
     Candidates via cell equi-join on the zone bbox cover; the exact
     point-in-polygon runs as an Arrow-batched pandas UDF. Within a
     batch, rows are grouped by zone so each polygon is decoded once
-    (prepared-geometry behavior).  ``level=None`` derives the cell
+    (prepared-geometry behavior). ``level=None`` derives the cell
     level from point density (see _resolve_level).
+
+    ship='prepared' (default): zone geometries are decoded ONCE on the
+    driver and shipped to executors as a Spark broadcast variable
+    keyed by ``zone_id``; only the 8-byte id rides the candidate rows.
+    ship='wkb' replicates the WKB bytes onto every candidate row
+    through the Arrow transfer — at V-vertex zones that is 16·V bytes
+    PER CANDIDATE PAIR (measured un-runnable at 4096 vertices x 200k
+    points), so keep it for the case of a zones table too large to
+    collect, where it pairs with broadcast_zones=False.
+    The prepared output omits the ``zone_geom`` column (never needed
+    by callers; keeps the plan narrow).
     """
     level = _resolve_level(points, zones, level)
+    if ship == "prepared":
+        zone_wkbs = {
+            r[0]: bytes(r[1]) for r in zones.select(zone_id, zone_geom).collect()
+        }
+        bc = points.sparkSession.sparkContext.broadcast(
+            {zid: _prepare_rings(w) for zid, w in zone_wkbs.items()}
+        )
+        zones = zones.drop(zone_geom)
     zc = zones.withColumn(
         "_cell", F.explode(cover_cells_bbox("xmin", "ymin", "xmax", "ymax", level))
     )
@@ -108,22 +145,106 @@ def pip_join_polygons(
         & (F.col(y) >= F.col("ymin"))
         & (F.col(y) <= F.col("ymax"))
     )
+    if ship == "prepared":
+        # shuffle-free local sort: Arrow batches become zone-pure, so
+        # the kernel runs one big vectorized call per zone instead of
+        # shattering across interleaved zones (the broadcast plan joins
+        # in input-row order; measured ~2x on kernel-bound zones)
+        cand = cand.sortWithinPartitions(zone_id)
+        return cand.where(_pip_prepared_udf(bc)(F.col(x), F.col(y), F.col(zone_id)))
+    return cand.where(_pip_udf(F.col(x), F.col(y), F.col(zone_geom)))
+
+
+def _pip_prepared_udf(bc):
+    """Arrow-batched PIP against a broadcast {zone_id: rings} dict —
+    candidate rows carry only the zone id, never geometry bytes."""
 
     @F.pandas_udf(BooleanType())
-    def _pip(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
+    def _pip(px: pd.Series, py: pd.Series, zid: pd.Series) -> pd.Series:
         out = np.zeros(len(px), dtype=bool)
         pxv, pyv = px.to_numpy(np.float64), py.to_numpy(np.float64)
-        # group by polygon bytes: decode each polygon once per batch
-        groups: dict[bytes, list[int]] = {}
-        for i, b in enumerate(wkb):
-            groups.setdefault(bytes(b), []).append(i)
-        for b, idxs in groups.items():
-            geom = wkb_loads(b)
-            ii = np.asarray(idxs)
-            out[ii] = points_in_polygon(pxv[ii], pyv[ii], geom)
+        zv = zid.to_numpy()
+        prepared = bc.value
+        for z in pd.unique(zv):
+            ii = np.nonzero(zv == z)[0]
+            out[ii] = point_in_polygon_prepared(prepared[z])(pxv[ii], pyv[ii])
         return pd.Series(out)
 
-    return cand.where(_pip(F.col(x), F.col(y), F.col(zone_geom)))
+    return _pip
+
+
+@F.pandas_udf(BooleanType())
+def _pip_udf(px: pd.Series, py: pd.Series, wkb: pd.Series) -> pd.Series:
+    """Crossing-number point-in-polygon over an Arrow batch; rows are
+    grouped by polygon bytes so each polygon is decoded once
+    (prepared-geometry behavior)."""
+    out = np.zeros(len(px), dtype=bool)
+    pxv, pyv = px.to_numpy(np.float64), py.to_numpy(np.float64)
+    groups: dict[bytes, list[int]] = {}
+    for i, b in enumerate(wkb):
+        groups.setdefault(bytes(b), []).append(i)
+    for b, idxs in groups.items():
+        geom = wkb_loads(b)
+        ii = np.asarray(idxs)
+        out[ii] = points_in_polygon(pxv[ii], pyv[ii], geom)
+    return pd.Series(out)
+
+
+def pip_join_polygons_salted(
+    points: DataFrame,
+    zones: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    zone_geom: str = "zone_wkb",
+    zone_id: str = "zone_id",
+    level: int = 5,
+    n_salt: int = 8,
+    salt_key: str | None = None,
+    broadcast_zones: bool = False,
+    ship: str = "prepared",
+) -> DataFrame:
+    """pip_join_polygons with key salting for Zipfian hotspots.
+
+    Matters on the SHUFFLE plan: the bbox filter and the Arrow-batched
+    PIP kernel run in the post-shuffle join stage, so an unsalted hot
+    cell funnels ALL its candidates through one task's single Python
+    worker. Salting spreads the hot cell over n_salt join keys →
+    n_salt tasks/workers (measured on kernel-bound zones:
+    scripts/skew_bench.py → BENCH/skew_salted_r06.json). Output is
+    identical to pip_join_polygons (asserted in tests).
+    """
+    if ship == "prepared":
+        zone_wkbs = {
+            r[0]: bytes(r[1]) for r in zones.select(zone_id, zone_geom).collect()
+        }
+        bc = points.sparkSession.sparkContext.broadcast(
+            {zid: _prepare_rings(w) for zid, w in zone_wkbs.items()}
+        )
+        zones = zones.drop(zone_geom)
+    zc = zones.withColumn(
+        "_cell", F.explode(cover_cells_bbox("xmin", "ymin", "xmax", "ymax", level))
+    ).withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    zc = zc.withColumn("_skey", F.col("_cell") * n_salt + F.col("_salt")).drop(
+        "_cell", "_salt"
+    )
+    if broadcast_zones:
+        zc = F.broadcast(zc)
+    key = F.col(salt_key) if salt_key else (F.col(x) * 7919 + F.col(y))
+    pts = points.withColumn(
+        "_skey",
+        cell_id(x, y, level) * n_salt + F.pmod(F.hash(key), F.lit(n_salt)),
+    )
+    cand = pts.join(zc, "_skey").drop("_skey")
+    cand = cand.where(
+        (F.col(x) >= F.col("xmin"))
+        & (F.col(x) <= F.col("xmax"))
+        & (F.col(y) >= F.col("ymin"))
+        & (F.col(y) <= F.col("ymax"))
+    )
+    if ship == "prepared":
+        cand = cand.sortWithinPartitions(zone_id)
+        return cand.where(_pip_prepared_udf(bc)(F.col(x), F.col(y), F.col(zone_id)))
+    return cand.where(_pip_udf(F.col(x), F.col(y), F.col(zone_geom)))
 
 
 def salt_cells(df: DataFrame, cell_col: str, n_salt: int, key_col: str) -> DataFrame:
@@ -147,23 +268,28 @@ def pip_join_rects_salted(
     level: int = 5,
     n_salt: int = 8,
     salt_key: str | None = None,
+    broadcast_zones: bool = True,
 ) -> DataFrame:
     """pip_join_rects with explicit key salting for Zipfian hotspots.
 
-    The zone-cell table is replicated n_salt times (still tiny, still
-    broadcast); each point picks one replica via pmod(hash(key)). A
-    hot cell's rows spread over n_salt join keys, bounding the largest
-    build-side bucket / skew-split task. Results are identical to the
-    unsalted join (asserted in tests).
+    The zone-cell table is replicated n_salt times (still tiny, and
+    broadcast by default); each point picks one replica via
+    pmod(hash(key)). A hot cell's rows spread over n_salt join keys,
+    bounding the largest build-side bucket / skew-split task. With
+    ``broadcast_zones=False`` the join runs as a shuffle (sort-merge)
+    join — the plan where key skew actually stalls a task and where
+    salting earns its keep (evidence: scripts/skew_bench.py →
+    BENCH/skew_salted_r06.json). Results are identical to the unsalted
+    join (asserted in tests).
     """
     zc = zones.withColumn(
         "_cell", F.explode(cover_cells_bbox("xmin", "ymin", "xmax", "ymax", level))
     ).withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
-    zc = F.broadcast(
-        zc.withColumn("_skey", F.col("_cell") * n_salt + F.col("_salt")).drop(
-            "_cell", "_salt"
-        )
+    zc = zc.withColumn("_skey", F.col("_cell") * n_salt + F.col("_salt")).drop(
+        "_cell", "_salt"
     )
+    if broadcast_zones:
+        zc = F.broadcast(zc)
     key = F.col(salt_key) if salt_key else (F.col(x) * 7919 + F.col(y))
     pts = points.withColumn(
         "_skey",

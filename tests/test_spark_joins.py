@@ -197,6 +197,71 @@ def test_pip_join_salted_matches_unsalted(spark):
     assert salted.exceptAll(plain).count() == 0
 
 
+def test_pip_join_polygons_salted_matches_unsalted(spark):
+    """Salted polygon PIP (shuffle plan, kernel post-shuffle) must give
+    identical pairs to the broadcast unsalted plan."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.join.pip import pip_join_polygons_salted
+
+    zones_pd = synth_zones(spark).toPandas()
+    zones_pd["zone_wkb"] = [
+        wkb_dumps(
+            mk_poly(
+                [(r.xmin, r.ymin), (r.xmax, r.ymin), (r.xmax, r.ymax), (r.xmin, r.ymax)]
+            )
+        )
+        for r in zones_pd.itertuples()
+    ]
+    zones = spark.createDataFrame(zones_pd)
+    pages = synth_pages(spark, 3000)
+    plain = pip_join_polygons(pages, zones, level=5).select("url", "zone_id")
+    salted = pip_join_polygons_salted(
+        pages, zones, level=5, n_salt=8, salt_key="url", broadcast_zones=False
+    ).select("url", "zone_id")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    # ship='wkb' (geometry bytes on every candidate row — the fallback
+    # for an uncollectable zones table) must agree with the default
+    # prepared-broadcast path
+    wkb_ship = pip_join_polygons(pages, zones, level=5, ship="wkb").select(
+        "url", "zone_id"
+    )
+    assert plain.exceptAll(wkb_ship).count() == 0
+    assert wkb_ship.exceptAll(plain).count() == 0
+
+
+def test_geo_pip_join_ship_modes_agree(spark):
+    """geo_pip_join prepared-broadcast vs wkb-column paths, incl. a
+    date-line zone (unwrapped coords)."""
+    from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+    from pygeoops_spark.join.geo_knn import geo_pip_join
+
+    rows = []
+    for jz in range(9):
+        c = jz * 40 - 160 + (20.3 if jz == 8 else 0.0)  # jz=8 straddles 180
+        lo, w, h = (jz * 31 % 100) - 50 + 0.4, 8.0 + jz % 4, 12.0 + jz % 7
+        ring = [(c - w, lo), (c, lo - h), (c + w, lo), (c, lo + h)]
+        rows.append(
+            (jz, float(c - w), float(lo - h), float(c + w), float(lo + h),
+             bytearray(wkb_dumps(mk_poly(ring))))
+        )
+    zones = spark.createDataFrame(
+        rows,
+        "zone_id long, lonmin double, latmin double, lonmax double, latmax double, zone_wkb binary",
+    )
+    i = F.col("id")
+    pts = spark.range(3000).select(
+        i.alias("pid"),
+        ((i * 37 % 360 - 180).cast("double") + i / F.lit(3001.0)).alias("lon"),
+        ((i * 23 % 160 - 80).cast("double") + i / F.lit(6002.0)).alias("lat"),
+    )
+    a = geo_pip_join(pts, zones, level=4).select("pid", "zone_id")
+    b = geo_pip_join(pts, zones, level=4, ship="wkb").select("pid", "zone_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() > 0
+
+
 def test_zorder_id_matches_python_reference(spark):
     """Morton interleave column matches a bit-twiddling reference."""
     from pygeoops_spark.join.cells import cell_coord, zorder_id
