@@ -31,6 +31,13 @@ _EXPORTS = {
     "compactness": "pygeoops_spark.geom.centerline",
     "simplify": "pygeoops_spark.geom.simplify_geom",
     "simplify_geometry": "pygeoops_spark.geom.simplify_geom",
+    "simplify_coords": "pygeoops_spark.geom.simplify_geom",
+    "simplify_linestring": "pygeoops_spark.geom.simplify_geom",
+    "simplify_polygon": "pygeoops_spark.geom.simplify_geom",
+    "simplify_coords_lang": "pygeoops_spark.geom.simplify",
+    "simplify_coords_lang_idx": "pygeoops_spark.geom.simplify",
+    "simplify_coords_idx": "pygeoops_spark.geom.simplify",
+    "keep_geom_type2primitivetype_id": "pygeoops_spark.geom.difference",
     "buffer_by_m": "pygeoops_spark.geom.buffer_by_m",
     "view_angles": "pygeoops_spark.geom.view_angles",
     "difference_all": "pygeoops_spark.geom.difference",

@@ -159,3 +159,11 @@ def difference_all_tiled(
     if all(p.type_id in (POLYGON, MULTIPOLYGON) for p in results):
         return dissolve_partition(results)
     return collect(results)
+
+
+def keep_geom_type2primitivetype_id(
+    keep_geom_type: bool | int, geometry: Geometry
+) -> int:
+    """Reference-parity public name for _keep_geom_type_to_pid
+    (reference: _paramvalidation.py:7-37)."""
+    return _keep_geom_type_to_pid(keep_geom_type, geometry)

@@ -165,3 +165,34 @@ def simplify_coords_idx(
     except KeyError:
         raise ValueError(f"Unsupported algorithm specified: {algorithm}") from None
     return fn(np.asarray(coords, dtype=np.float64), tolerance, lookahead=lookahead)
+
+
+def simplify_coords_lang_idx(
+    coords,
+    tolerance: float,
+    lookahead: int = 8,
+    simplify_lookahead_points: bool = False,
+) -> np.ndarray:
+    """Reference-parity name (reference: _simplify_lang.py:69): Lang
+    kept-index array over a coordinate sequence."""
+    return lang_idx(
+        np.asarray(coords, dtype=np.float64),
+        tolerance,
+        lookahead,
+        simplify_lookahead_points,
+    )
+
+
+def simplify_coords_lang(
+    coords,
+    tolerance: float,
+    lookahead: int = 8,
+    simplify_lookahead_points: bool = False,
+):
+    """Reference-parity name (reference: _simplify_lang.py:11): Lang
+    kept COORDS; list in → list out, ndarray in → ndarray out."""
+    arr = np.asarray(coords, dtype=np.float64)
+    out = arr[
+        lang_idx(arr, tolerance, lookahead, simplify_lookahead_points)
+    ]
+    return out.tolist() if isinstance(coords, list) else out

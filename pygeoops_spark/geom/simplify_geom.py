@@ -167,3 +167,75 @@ def simplify(
     return simplify_geometry(
         geom, tolerance, algorithm, lookahead, preserve_topology, keep_points_on
     )
+
+
+# -- reference-parity names (reference: _simplify.py:223/287/321) ----------
+def _resolve_algorithm(algorithm: str, simplify_lookahead_points: bool) -> str:
+    """The reference routes lang/lang+ through one code path gated by
+    simplify_lookahead_points; our kernels name the variant 'lang+'."""
+    if algorithm == "lang" and simplify_lookahead_points:
+        return "lang+"
+    return algorithm
+
+
+def simplify_coords(
+    coords,
+    tolerance: float,
+    algorithm: str = "rdp",
+    lookahead: int = 8,
+    simplify_lookahead_points: bool = False,
+    keep_points_on: Geometry | None = None,
+) -> np.ndarray:
+    """Kept COORDS (not indices) with the keep_points_on merge
+    (reference: _simplify.py:321)."""
+    arr = np.asarray(coords, dtype=np.float64)
+    keep = _simplify_ring_idx(
+        arr,
+        tolerance,
+        _resolve_algorithm(algorithm, simplify_lookahead_points),
+        lookahead,
+        keep_points_on,
+    )
+    return arr[keep]
+
+
+def simplify_linestring(
+    linestring: Geometry | None,
+    tolerance: float,
+    algorithm: str = "rdp",
+    lookahead: int = 8,
+    simplify_lookahead_points: bool = False,
+    preserve_topology: bool = True,
+    keep_points_on: Geometry | None = None,
+) -> Geometry | None:
+    """Reference-parity name (reference: _simplify.py:287); degenerate
+    rules (fewer than 2 kept points) follow simplify_geometry."""
+    return simplify_geometry(
+        linestring,
+        tolerance,
+        _resolve_algorithm(algorithm, simplify_lookahead_points),
+        lookahead,
+        preserve_topology,
+        keep_points_on,
+    )
+
+
+def simplify_polygon(
+    polygon: Geometry | None,
+    tolerance: float,
+    algorithm: str = "rdp",
+    lookahead: int = 8,
+    simplify_lookahead_points: bool = False,
+    preserve_topology: bool = True,
+    keep_points_on: Geometry | None = None,
+) -> Geometry | None:
+    """Reference-parity name (reference: _simplify.py:223): ring-wise
+    simplify + make_valid + polygon-only extract."""
+    return simplify_geometry(
+        polygon,
+        tolerance,
+        _resolve_algorithm(algorithm, simplify_lookahead_points),
+        lookahead,
+        preserve_topology,
+        keep_points_on,
+    )

@@ -17,20 +17,62 @@ def test_dir_lists_exports():
 
 
 def test_reference_public_names_covered():
-    # the reference's 24 public callables / classes and our mapping:
-    # same-name kernels plus documented renames (explode->get_parts,
-    # simplify_coords*->simplify_coords_idx, keep_geom_type2primitivetype_id
-    # is internal parameter validation surfaced via keep_geom_type args)
-    same_name = [
-        "buffer_by_m", "centerline", "difference_all", "difference_all_tiled",
-        "extend_line_by_distance", "extend_line_to_geometry", "collect",
-        "collection_extract", "empty", "format_short", "get_parts_recursive",
-        "get_primitivetype_id", "make_valid", "remove_inner_rings",
-        "subdivide", "create_grid", "create_grid3", "create_grid2",
-        "split_tiles", "simplify", "simplify_topo", "view_angles",
+    # EVERY public (non-underscore) def/class across the reference's
+    # modules resolves at our top level under the same name — the full
+    # 31-name surface, not just the __init__ star-exports
+    reference_public = [
+        "GeometryType", "PrimitiveType", "buffer_by_m", "centerline",
+        "collect", "collection_extract", "create_grid", "create_grid2",
+        "create_grid3", "difference_all", "difference_all_tiled", "empty",
+        "explode", "extend_line_by_distance", "extend_line_to_geometry",
+        "format_short", "get_parts_recursive", "get_primitivetype_id",
+        "keep_geom_type2primitivetype_id", "make_valid",
+        "remove_inner_rings", "simplify", "simplify_coords",
+        "simplify_coords_lang", "simplify_coords_lang_idx",
+        "simplify_linestring", "simplify_polygon", "simplify_topo",
+        "split_tiles", "subdivide", "view_angles",
     ]
-    for name in same_name:
+    for name in reference_public:
         assert callable(getattr(pygeoops_spark, name)), name
+
+
+def test_reference_parity_adapters_behave():
+    import numpy as np
+
+    # simplify_coords_lang: list in -> list out; collinear interior
+    # points beyond the tolerance window are kept per standard lang
+    coords = [[0.0, 0.0], [1.0, 0.1], [2.0, -0.1], [3.0, 0.0]]
+    out = pygeoops_spark.simplify_coords_lang(coords, 0.5, lookahead=3)
+    assert isinstance(out, list) and out[0] == [0.0, 0.0] and out[-1] == [3.0, 0.0]
+    idx = pygeoops_spark.simplify_coords_lang_idx(coords, 0.5, lookahead=3)
+    assert list(idx[:1]) == [0] and idx[-1] == 3
+
+    # simplify_coords: kept coords through the algorithm dispatch
+    arr = np.array([[0.0, 0.0], [1.0, 0.01], [2.0, 0.0]])
+    kept = pygeoops_spark.simplify_coords(arr, 0.5, algorithm="rdp")
+    assert kept.shape == (2, 2)
+
+    # simplify_linestring / simplify_polygon route to the ring-wise
+    # geometry path
+    from pygeoops_spark.geom.wkb import wkt_dumps, wkt_loads
+
+    ls = wkt_loads("LINESTRING (0 0, 1 0.01, 2 0)")
+    s = pygeoops_spark.simplify_linestring(ls, 0.5, algorithm="rdp")
+    assert wkt_dumps(s) == "LINESTRING (0 0, 2 0)"
+    poly = wkt_loads("POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))")
+    sp = pygeoops_spark.simplify_polygon(poly, 0.5, algorithm="rdp")
+    assert sp is not None and len(sp.data[0]) == 5
+
+    # keep_geom_type2primitivetype_id: reference value table
+    assert pygeoops_spark.keep_geom_type2primitivetype_id(False, poly) == 0
+    assert pygeoops_spark.keep_geom_type2primitivetype_id(True, poly) == 3
+    assert pygeoops_spark.keep_geom_type2primitivetype_id(2, poly) == 2
+    try:
+        pygeoops_spark.keep_geom_type2primitivetype_id(7, poly)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")
 
 
 def test_type_enums_and_explode_top_level():
