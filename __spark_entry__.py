@@ -412,20 +412,22 @@ def _ann_recall_check(spark: SparkSession, sf_dir: str, approx_fn, floor_hits: i
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat recall bounded-check: k-means-quantized nprobe-6 search
+    """IVF-flat recall bounded-check: k-means-quantized nprobe-7 search
     with 3-way target multi-assignment must keep >= 3 of the exact
-    top-5 for EVERY query (measured at sf0.01: min 4, mean 4.84 — the
-    floor keeps one hit of margin; nprobe 4 measured min 3, so the r04
-    floor of 2 was raised together with nprobe. The pipeline is
+    top-5 for EVERY query. Headroom re-measured across scales in r06
+    (BENCH/ann_recall_headroom_r06.json): nprobe 6 held min 4 at
+    sf0.01 but dropped to min 3 (zero margin) at sf0.1 where bucket
+    occupancy quadruples; nprobe 7 restores min 4 / mean ~4.9 at BOTH
+    scales, keeping one hit of margin everywhere. The pipeline is
     deterministic — hash-sampled training set, stable Lloyd
-    iterations)."""
+    iterations."""
     from pygeoops_spark.ann.cosine import cosine_topk_ivf
 
     return _ann_recall_check(
         spark,
         sf_dir,
         lambda q, t: cosine_topk_ivf(
-            q, t, k=5, n_cells=16, nprobe=6, t_assign=3, train_iters=8
+            q, t, k=5, n_cells=16, nprobe=7, t_assign=3, train_iters=8
         ),
         floor_hits=3,
     )
