@@ -273,7 +273,7 @@ def geo_pip_join(
     zone_id: str = "zone_id",
     level: int | None = 5,
     broadcast_zones: bool = True,
-    ship: str = "prepared",
+    ship: str = "auto",
 ) -> DataFrame:
     """Point-in-polygon join on geographic coordinates (plate-carree
     edge semantics — straight edges in lon/lat space, the same
@@ -299,8 +299,13 @@ def geo_pip_join(
 
     from pygeoops_spark.geom.kernels import points_in_polygon
     from pygeoops_spark.geom.wkb import wkb_loads
-    from pygeoops_spark.join.pip import _pip_prepared_udf, _prepare_rings
+    from pygeoops_spark.join.pip import (
+        _pip_prepared_udf,
+        _prepare_rings,
+        _resolve_ship,
+    )
 
+    ship = _resolve_ship(zones, zone_geom, ship)
     if ship == "prepared":
         bc = points.sparkSession.sparkContext.broadcast(
             {

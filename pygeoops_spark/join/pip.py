@@ -92,6 +92,22 @@ def _prepare_rings(wkb_bytes: bytes) -> list[tuple[np.ndarray, bool]]:
     return rings
 
 
+# prepared-broadcast cap: total zone WKB above this stays on the
+# ship='wkb' column path (driver collect + executor broadcast memory)
+PREPARED_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _resolve_ship(zones: DataFrame, zone_geom: str, ship: str) -> str:
+    """ship='auto' → 'prepared' unless the zones' total WKB exceeds
+    PREPARED_MAX_BYTES (one tiny aggregate on the small side); explicit
+    'prepared'/'wkb' pass through."""
+    if ship != "auto":
+        return ship
+    row = zones.select(F.sum(F.length(F.col(zone_geom))).alias("b")).first()
+    total = int(row["b"] or 0)
+    return "prepared" if total <= PREPARED_MAX_BYTES else "wkb"
+
+
 def pip_join_polygons(
     points: DataFrame,
     zones: DataFrame,
@@ -101,7 +117,7 @@ def pip_join_polygons(
     zone_id: str = "zone_id",
     level: int | None = 5,
     broadcast_zones: bool = True,
-    ship: str = "prepared",
+    ship: str = "auto",
 ) -> DataFrame:
     """Join points to arbitrary polygon zones (WKB column + bbox cols).
 
@@ -111,18 +127,20 @@ def pip_join_polygons(
     (prepared-geometry behavior). ``level=None`` derives the cell
     level from point density (see _resolve_level).
 
-    ship='prepared' (default): zone geometries are decoded ONCE on the
-    driver and shipped to executors as a Spark broadcast variable
-    keyed by ``zone_id``; only the 8-byte id rides the candidate rows.
-    ship='wkb' replicates the WKB bytes onto every candidate row
-    through the Arrow transfer — at V-vertex zones that is 16·V bytes
-    PER CANDIDATE PAIR (measured un-runnable at 4096 vertices x 200k
-    points), so keep it for the case of a zones table too large to
-    collect, where it pairs with broadcast_zones=False.
-    The prepared output omits the ``zone_geom`` column (never needed
-    by callers; keeps the plan narrow).
+    ship='auto' (default) resolves to 'prepared' while the zones'
+    total WKB fits PREPARED_MAX_BYTES: zone geometries are decoded
+    ONCE on the driver and shipped to executors as a Spark broadcast
+    variable keyed by ``zone_id``; only the 8-byte id rides the
+    candidate rows. ship='wkb' replicates the WKB bytes onto every
+    candidate row through the Arrow transfer — at V-vertex zones that
+    is 16·V bytes PER CANDIDATE PAIR (measured un-runnable at 4096
+    vertices x 200k points) — so it is only for zones tables too large
+    to collect, where it pairs with broadcast_zones=False (bucketed
+    shuffle join). The prepared output omits the ``zone_geom`` column
+    (never needed by callers; keeps the plan narrow).
     """
     level = _resolve_level(points, zones, level)
+    ship = _resolve_ship(zones, zone_geom, ship)
     if ship == "prepared":
         zone_wkbs = {
             r[0]: bytes(r[1]) for r in zones.select(zone_id, zone_geom).collect()
@@ -201,7 +219,7 @@ def pip_join_polygons_salted(
     n_salt: int = 8,
     salt_key: str | None = None,
     broadcast_zones: bool = False,
-    ship: str = "prepared",
+    ship: str = "auto",
 ) -> DataFrame:
     """pip_join_polygons with key salting for Zipfian hotspots.
 
@@ -213,6 +231,7 @@ def pip_join_polygons_salted(
     scripts/skew_bench.py → BENCH/skew_salted_r06.json). Output is
     identical to pip_join_polygons (asserted in tests).
     """
+    ship = _resolve_ship(zones, zone_geom, ship)
     if ship == "prepared":
         zone_wkbs = {
             r[0]: bytes(r[1]) for r in zones.select(zone_id, zone_geom).collect()
