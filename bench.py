@@ -30,6 +30,7 @@ PAGES_N = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
 
 BENCH_QUERIES = [
     "pip_join",
+    "pip_join_poly",
     "knn_join",
     "tile_assign",
     "bbox_join",

@@ -211,3 +211,31 @@ def test_geo_pip_join_broadcasts_no_cartesian(spark):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pip_join_polygons_prepared_plan_is_narrow(spark, sf_dir):
+    """Prepared-broadcast polygon PIP: the zone WKB column must NOT
+    appear anywhere in the distributed plan (it travels as a broadcast
+    variable keyed by zone_id), the candidate join stays a broadcast
+    hash join, and the zone-purity sort is partition-local (no extra
+    Exchange beyond the broadcast one)."""
+    from pygeoops_spark.corpus.pages import order_points, synth_poly_zones
+    from pygeoops_spark.join.pip import pip_join_polygons
+
+    zones = synth_poly_zones(spark, n_vertices=32)
+    j = pip_join_polygons(order_points(spark, sf_dir), zones, level=5)
+    plan = _plan(j)
+    physical = plan.split("== Physical Plan ==")[-1]
+    # the WKB bytes never enter the executed plan (they ride a
+    # broadcast VARIABLE, not a column); earlier logical phases still
+    # name the column before the drop-projection prunes it
+    assert "zone_wkb" not in physical
+    assert "BroadcastHashJoin" in physical or "BroadcastExchange" in physical
+    assert "CartesianProduct" not in physical
+    # exactly the broadcast exchange — the local sort adds none
+    n_exchanges = sum(
+        1
+        for line in physical.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )
+    assert n_exchanges == 0, physical
