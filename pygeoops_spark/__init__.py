@@ -126,6 +126,8 @@ _EXPORTS = {
     "cosine_topk_bruteforce": "pygeoops_spark.ann.cosine",
     "cosine_topk_lsh": "pygeoops_spark.ann.cosine",
     "cosine_topk_ivf": "pygeoops_spark.ann.cosine",
+    "ivf_build_index": "pygeoops_spark.ann.cosine",
+    "ivf_query_index": "pygeoops_spark.ann.cosine",
     # sources / streaming / checkpointed runs
     "synth_pages": "pygeoops_spark.corpus.pages",
     "synth_zones": "pygeoops_spark.corpus.pages",

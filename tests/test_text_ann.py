@@ -382,3 +382,42 @@ def test_train_centroids_threshold_sample_matches_takeordered(spark, emb):
         .tolist()
     )
     assert got == want
+
+
+def test_ivf_persisted_index_matches_per_call(spark, emb, tmp_path):
+    """Build-once/query-many IVF: the persisted index (parquet
+    partitioned by cell + sidecar centroids) must return the same
+    (query, neighbor) pairs as the per-call cosine_topk_ivf with
+    identical parameters (same deterministic quantizer), the query
+    scan must carry a partition filter on cell, and a second query
+    batch must reuse the index without rebuilding."""
+    from pygeoops_spark.ann.cosine import (
+        cosine_topk_ivf,
+        ivf_build_index,
+        ivf_query_index,
+    )
+
+    path = str(tmp_path / "ivf_idx")
+    meta = ivf_build_index(
+        emb, path, n_cells=16, t_assign=3, train_iters=8
+    )
+    assert meta["n_cells"] == 16 and meta["dim"] == 64
+
+    queries = emb.where(F.col("vec_id") < 20)
+    got = ivf_query_index(spark, path, queries, k=5, nprobe=6)
+    ref = cosine_topk_ivf(
+        queries, emb, k=5, n_cells=16, nprobe=6, t_assign=3, train_iters=8
+    )
+    got_pairs = {(r[0], r[1]) for r in got.select("query_id", "neighbor_id").collect()}
+    ref_pairs = {(r[0], r[1]) for r in ref.select("query_id", "neighbor_id").collect()}
+    assert got_pairs == ref_pairs
+
+    # partition pruning: the index scan plans a PartitionFilters entry
+    # on the cell directory column
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # second batch, no rebuild
+    q2 = emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 30))
+    out2 = ivf_query_index(spark, path, q2, k=5, nprobe=6)
+    assert out2.groupBy("query_id").count().count() == 10
