@@ -135,6 +135,7 @@ _EXPORTS = {
     "write_geojson_seq": "pygeoops_spark.sources.geojson",
     "sessionize_stream": "pygeoops_spark.streaming.sessions",
     "assign_stream_to_grid": "pygeoops_spark.streaming.tiles",
+    "geofence_stream": "pygeoops_spark.streaming.tiles",
     "run_checkpointed": "pygeoops_spark.run.checkpoint",
     "get_spark": "pygeoops_spark.session",
 }

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pygeoops_spark.geom.grid import Bounds
-from pygeoops_spark.join.cells import cell_id
+from pygeoops_spark.join.cells import cell_id, cover_cells_bbox
 from pygeoops_spark.operators.grid import tile_cols
 
 
@@ -109,3 +109,51 @@ def windowed_tile_counts(
             "n_events",
         )
     )
+
+
+def geofence_stream(
+    stream: DataFrame,
+    zones: DataFrame,
+    x: str = "x",
+    y: str = "y",
+    zone_geom: str = "zone_wkb",
+    zone_id: str = "zone_id",
+    level: int = 5,
+) -> DataFrame:
+    """Streaming point-in-polygon (geofencing): each event joins the
+    static zone table and keeps only events inside a zone's polygon.
+
+    Plan shape mirrors the batch pip_join_polygons prepared path
+    (join/pip.py): zone geometries decode once into a broadcast
+    {zone_id: rings} dict, the stream joins the (tiny, broadcast)
+    zone-cell cover on a pure-SQL cell id — a stateless stream-static
+    equi-join, so no streaming state at all — then the bbox prefilter
+    and the Arrow-batched crossing-number kernel filter each
+    micro-batch. Events outside every zone bbox never reach the
+    kernel. The zone-purity sort is skipped: micro-batches are small
+    and a per-batch sort adds latency for no measurable kernel win at
+    streaming batch sizes.
+    """
+    from pygeoops_spark.join.pip import _pip_prepared_udf, _prepare_rings
+
+    bc = zones.sparkSession.sparkContext.broadcast(
+        {
+            r[0]: _prepare_rings(bytes(r[1]))
+            for r in zones.select(zone_id, zone_geom).collect()
+        }
+    )
+    zc = F.broadcast(
+        zones.drop(zone_geom).withColumn(
+            "_cell",
+            F.explode(cover_cells_bbox("xmin", "ymin", "xmax", "ymax", level)),
+        )
+    )
+    pts = stream.withColumn("_cell", cell_id(x, y, level))
+    cand = pts.join(zc, "_cell").drop("_cell")
+    cand = cand.where(
+        (F.col(x) >= F.col("xmin"))
+        & (F.col(x) <= F.col("xmax"))
+        & (F.col(y) >= F.col("ymin"))
+        & (F.col(y) <= F.col("ymax"))
+    )
+    return cand.where(_pip_prepared_udf(bc)(F.col(x), F.col(y), F.col(zone_id)))

@@ -294,3 +294,37 @@ def test_streaming_geo_cell_assignment(spark, tmp_path):
     exp = {r["pid"]: r["cell"] for r in batch.withColumn(
         "cell", geo_cell_id("lon", "lat", 4)).collect()}
     assert rows == exp
+
+
+def test_streaming_geofence_matches_batch_pip(spark, tmp_path):
+    """geofence_stream over a replayed point file must keep exactly the
+    events the batch polygon PIP join keeps (stream-static broadcast
+    join + prepared kernel; no streaming state)."""
+    from pygeoops_spark.corpus.pages import synth_pages, synth_poly_zones
+    from pygeoops_spark.join.pip import pip_join_polygons
+    from pygeoops_spark.streaming.tiles import geofence_stream
+
+    zones = synth_poly_zones(spark, n_vertices=24)
+    src = tmp_path / "pts_src"
+    synth_pages(spark, 4000).select("url", "x", "y").write.parquet(str(src))
+    batch = spark.read.parquet(str(src))
+    expected = {
+        (r[0], r[1])
+        for r in pip_join_polygons(batch, zones, level=5)
+        .select("url", "zone_id")
+        .collect()
+    }
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = geofence_stream(stream, zones, level=5).select("url", "zone_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("geofence_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r[0], r[1]) for r in spark.table("geofence_t").collect()}
+    assert got == expected
+    assert len(got) > 0
