@@ -102,3 +102,26 @@ def test_unknown_name_raises():
         assert "not_a_real_name" in str(e)
     else:
         raise AssertionError("expected AttributeError")
+
+
+def test_simplify_coords_lang_reference_goldens():
+    """Ported from the reference suite (tests/test_simplify_lang.py:12,
+    43, 65): the lang+ lookahead-point removal golden (the 4th point
+    (30,30) is collinear but unremovable under standard lang with
+    lookahead=3) and container-type preservation."""
+    import numpy as np
+
+    zig = [(0, 0), (10, 10), (20, 20), (30, 30), (40, 40), (50, 30), (60, 20), (70, 10)]
+    out = pygeoops_spark.simplify_coords_lang(
+        zig, 1, lookahead=3, simplify_lookahead_points=True
+    )
+    assert len(out) == 3
+    assert out[0] == [0.0, 0.0] and out[-1] == [70.0, 10.0]
+
+    col = [(0, 0), (10, 10), (20, 20), (30, 30), (40, 40)]
+    out_list = pygeoops_spark.simplify_coords_lang(col, 1)
+    assert isinstance(out_list, list) and len(out_list) == 2
+    out_arr = pygeoops_spark.simplify_coords_lang(np.asarray(col, dtype=float), 1)
+    assert isinstance(out_arr, np.ndarray) and len(out_arr) == 2
+    idx = pygeoops_spark.simplify_coords_lang_idx(col, 1)
+    assert list(idx) == [0, 4]
