@@ -371,3 +371,55 @@ def test_split_tiles_wkb_geometry(spark):
     assert sum(polygon_area(g) for g in by_name["bar"]) == pytest.approx(36.0)
     # already enough tiles -> unchanged
     assert split_tiles(df, 2, wkb_col="wkb").count() == 2
+
+
+def test_pip_join_polygons_prepared_holes_and_multipolygon(spark):
+    """The prepared-broadcast path must honor holes and multipolygon
+    parts (the _prepare_rings decomposition), matching the wkb column
+    path on the same zones."""
+    from pygeoops_spark.geom.wkb import MULTIPOLYGON, multi, polygon, wkb_dumps
+    from pygeoops_spark.join.pip import pip_join_polygons
+
+    donut = polygon(
+        [(100, 100), (300, 100), (300, 300), (100, 300)],
+        holes=[[(150, 150), (250, 150), (250, 250), (150, 250)]],
+    )
+    two_parts = multi(
+        MULTIPOLYGON,
+        [
+            polygon([(500, 500), (600, 500), (600, 600), (500, 600)]),
+            polygon([(700, 700), (800, 700), (800, 800), (700, 800)]),
+        ],
+    )
+    zones = spark.createDataFrame(
+        [
+            (1, 100.0, 100.0, 300.0, 300.0, bytearray(wkb_dumps(donut))),
+            (2, 500.0, 500.0, 800.0, 800.0, bytearray(wkb_dumps(two_parts))),
+        ],
+        "zone_id long, xmin double, ymin double, xmax double, ymax double, zone_wkb binary",
+    )
+    pts = spark.createDataFrame(
+        [
+            (0, 120.0, 120.0),   # in the donut ring
+            (1, 200.0, 200.0),   # inside the hole -> excluded
+            (2, 550.0, 550.0),   # part 1
+            (3, 750.0, 750.0),   # part 2
+            (4, 650.0, 650.0),   # in zone-2 bbox, between the parts -> excluded
+            (5, 10.0, 10.0),     # nowhere
+        ],
+        "pid long, x double, y double",
+    )
+    got = {
+        (r[0], r[1])
+        for r in pip_join_polygons(pts, zones, level=4)
+        .select("pid", "zone_id")
+        .collect()
+    }
+    assert got == {(0, 1), (2, 2), (3, 2)}
+    wkb_got = {
+        (r[0], r[1])
+        for r in pip_join_polygons(pts, zones, level=4, ship="wkb")
+        .select("pid", "zone_id")
+        .collect()
+    }
+    assert wkb_got == got
