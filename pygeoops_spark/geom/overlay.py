@@ -44,6 +44,21 @@ reference gets these for free from GEOS, _difference.py:171-181):
    so the two independent noding passes of an operation produce
    IDENTICAL cut coordinates and ring stitching always reconnects —
    even for ill-conditioned near-parallel crossings.
+ * endpoint-sharing pairs never cross: segments that share an endpoint
+   bit-exactly are excluded from the general-position solve (straight
+   lines meet at most once; collinear overlap has its own branch) —
+   otherwise ulp-rotated pieces of the same original edge produce a
+   phantom interior crossing arbitrarily far from the shared node.
+ * on-boundary keep/drop decisions are the exact off->0 limit of side
+   sampling (_onb_verdict): midpoint point-in-polygon when strictly
+   off the other NODED chain, co-direction with the nearest chain
+   segment when bit-coincident. No finite sampling offset is safe —
+   noding near-duplicate vertices creates micro edges bounding wedges
+   thinner than any fixed offset.
+
+These invariants are graded against an exact rational-arithmetic area
+oracle (geom/exact.py, signed-trapezoid decomposition over Fractions)
+in tests/test_exact_oracle.py, including 5000-example soaks.
 """
 
 from __future__ import annotations
@@ -117,7 +132,7 @@ def _snap_geometry(g: Geometry | None, grid: float) -> Geometry | None:
 
 
 # lost-edge fraction above which an overlay retries on a coarse exact
-# grid (200*snap — twice the side-sampling offset, so everything the
+# grid (200*snap — 20x the 10*snap coincidence band, so everything the
 # tolerance machinery reasons about collapses to exact coincidence)
 _LOST_RETRY_FRAC = 1e-3
 
@@ -178,6 +193,18 @@ def _seg_intersections(a1, a2, b1, b2) -> list[np.ndarray]:
             if 0.0 < t < 1.0:
                 out.append(a1 + t * r)
         return out
+    # segments sharing an endpoint cannot cross anywhere else: straight
+    # lines meet at most once, so with the shared point already a node
+    # a float "interior" crossing of two near-parallel pieces is
+    # spurious — the ulp-scale angle between noded pieces of the SAME
+    # original edge puts it arbitrarily far away (lever-arm effect; a
+    # 0.006-offset phantom node ate a 4e-4 face in the union of two
+    # difference outputs, caught by the exact-oracle soak). True
+    # collinear overlap takes the denom == 0 branch above.
+    for ea in (a1, a2):
+        for eb in (b1, b2):
+            if ea[0] == eb[0] and ea[1] == eb[1]:
+                return []
     t = (qp[0] * s[1] - qp[1] * s[0]) / denom
     u = (qp[0] * r[1] - qp[1] * r[0]) / denom
     if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
@@ -258,6 +285,22 @@ def _node_edges(
                 & (u * ls > snap)
                 & ((1.0 - u) * ls > snap)
             )
+            # pairs sharing an endpoint bit-exactly cannot cross
+            # anywhere else (straight lines meet once; the shared point
+            # is already a node) — the float solve on two near-parallel
+            # pieces of the SAME original edge otherwise yields a
+            # phantom interior crossing arbitrarily far away (lever-arm
+            # effect: a 0.006-offset phantom node ate a 4e-4 face in
+            # union(A\\B, B\\A), caught by the exact-oracle soak)
+            ei1, ei2 = e1[ii[gen]], e2[ii[gen]]
+            oj1, oj2 = o1[jj[gen]], o2[jj[gen]]
+            shared = (
+                (ei1 == oj1).all(axis=1)
+                | (ei1 == oj2).all(axis=1)
+                | (ei2 == oj1).all(axis=1)
+                | (ei2 == oj2).all(axis=1)
+            )
+            m &= ~shared
             if m.any():
                 ig = ii[gen][m]
                 jg = jj[gen][m]
@@ -354,6 +397,98 @@ def _min_boundary_dist(mids: np.ndarray, segs: np.ndarray) -> np.ndarray:
         )
         min_d = np.minimum(min_d, d.min(axis=1))
     return min_d
+
+
+def _onb_verdict(
+    edges: list[tuple[np.ndarray, np.ndarray]],
+    other: Geometry,
+    snap: float,
+    other_edges: list[tuple[np.ndarray, np.ndarray]] | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Keep/drop evidence for edges lying in ``other``'s coincidence
+    band, as the exact off->0 limit of side sampling. Returns per-edge
+    boolean arrays ``(coincident, codir, inside)``:
+
+    * ``coincident`` — the edge midpoint lies ON other's boundary to
+      ~100 ulps: line offset against the nearest canonically-oriented
+      segment below ``scale * 1e-13`` with the projection inside the
+      segment. Only here is point-in-polygon undefined. Coincidence
+      MUST be judged against the same arrangement the stitcher walks:
+      pass ``other_edges`` (other's NODED chain) whenever available —
+      vertex-on-edge noding detours chains onto the opposite set's
+      vertices (up to 10*snap off the original boundary), and a piece
+      that is bit-identical to a detoured chain segment reads as
+      "strictly inside by 5e-10" against the original segments,
+      producing a spurious keep, a dangling spur, and a spurious
+      coarse retry (the round-6 driver `difference` v2 regression).
+    * ``codir`` — the edge runs the same way as that nearest segment.
+      Since both edge sets are normalized interior-left (shell CCW,
+      holes CW), co-direction means the interiors lie on the SAME side
+      — the classical arrangement rule for coincident boundaries.
+    * ``inside`` — exact point-in-polygon of the midpoint itself, the
+      ground truth whenever not coincident (distances down to ~100
+      ulps resolve fine in doubles; the band is 10*snap >> that).
+
+    Replaces finite-offset side sampling: NO fixed offset is safe,
+    because noding near-duplicate vertices produces micro edges
+    bounding wedges thinner than any chosen offset — the exact
+    rational oracle (tests/test_exact_oracle.py) caught the
+    intersection kernel emptying a 0.09-area overlap through a
+    100*snap sample, and a 14-degree corner wedge through a
+    quarter-edge-length one.
+    """
+    n = len(edges)
+    empty = np.zeros(n, dtype=bool)
+    if n == 0:
+        return empty, empty, empty
+    if other_edges is not None:
+        seg_rows = [np.concatenate([e[0], e[1]]) for e in other_edges]
+    else:
+        seg_rows = [
+            np.concatenate([e[0], e[1]])
+            for p in _as_polys(other)
+            for e in _poly_edges(p)
+        ]
+    if not seg_rows:
+        return empty, empty, empty
+    segs = np.vstack(seg_rows)
+    mids = _midpoints(edges)
+    px, py = mids[:, 0][:, None], mids[:, 1][:, None]
+    from pygeoops_spark.geom.kernels import point_segment_distance
+
+    jmin = np.zeros(n, dtype=int)
+    best = np.full(n, np.inf)
+    block = max(int(4_000_000 / n), 16)
+    for s0 in range(0, len(segs), block):
+        sb = segs[s0 : s0 + block]
+        d = point_segment_distance(
+            px, py, sb[None, :, 0], sb[None, :, 1], sb[None, :, 2], sb[None, :, 3]
+        )
+        loc = d.argmin(axis=1)
+        dm = d[np.arange(n), loc]
+        upd = dm < best
+        best[upd] = dm[upd]
+        jmin[upd] = loc[upd] + s0
+    near = segs[jmin]
+    dx, dy = near[:, 2] - near[:, 0], near[:, 3] - near[:, 1]
+    vx, vy = mids[:, 0] - near[:, 0], mids[:, 1] - near[:, 1]
+    seg_len2 = dx * dx + dy * dy
+    seg_len = np.sqrt(seg_len2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = (dx * vy - dy * vx) / seg_len
+        t = (dx * vx + dy * vy) / seg_len2
+    scale = np.maximum(1.0, np.abs(near).max(axis=1))
+    scale = np.maximum(scale, np.abs(mids).max(axis=1))
+    thr = scale * 1e-13
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tpad = thr / seg_len
+    coincident = (
+        (np.abs(s) <= thr) & (t >= -tpad) & (t <= 1 + tpad) & (seg_len > 0)
+    )
+    edir = np.array([q - p for p, q in edges], dtype=float)
+    codir = edir[:, 0] * dx + edir[:, 1] * dy > 0
+    inside = points_in_polygon(mids[:, 0], mids[:, 1], other)
+    return coincident, codir, np.asarray(inside, dtype=bool)
 
 
 def _classify(
@@ -590,13 +725,14 @@ def _stitch_core(
                 # bridging) instead of discarding anything here
                 return [], False, 0.0
             if not cands:
-                # dead end: bridge a tolerance-scale gap. Side-sampling
-                # (offset 100*snap) can absorb a connector piece up to
-                # ~100 cells long, leaving the ring unclosable by exact
-                # key match; jump to the nearest node (within 1.5x the
-                # scale) that is on the path or still has an unused
-                # out-edge. Area error is bounded by gap * perimeter —
-                # the discarded-ring alternative loses the whole face.
+                # dead end: bridge a tolerance-scale gap. The onb
+                # keep/drop rules can absorb a connector piece up to
+                # ~100 cells long (coincidence-band scale), leaving the
+                # ring unclosable by exact key match; jump to the
+                # nearest node (within 1.5x the scale) that is on the
+                # path or still has an unused out-edge. Area error is
+                # bounded by gap * perimeter — the discarded-ring
+                # alternative loses the whole face.
                 best_key, best_d = None, 151
                 for nk in node_pos:
                     dch = max(abs(nk[0] - end_key[0]), abs(nk[1] - end_key[1]))
@@ -777,38 +913,32 @@ def polygon_difference(
         if c == 1:
             keep.append((q, p))  # reversed: B boundary inside A bounds a hole
     # shared boundary edges: A-edge on B's boundary. Keep it only when
-    # the A-interior side is outside B — approximated by sampling a
-    # point just left of the edge (A interior) and testing against B.
-    shared_idx = np.nonzero(ca == 0)[0]
+    # the A-interior side (left) is outside B: for a midpoint strictly
+    # off B's boundary that is exact point-in-polygon of the midpoint
+    # itself; for a bit-coincident midpoint it is anti-direction with
+    # the underlying B segment (interiors on opposite sides).
+    onb_a = [na[i] for i in np.nonzero(ca == 0)[0]]
     kept_shared_a: list[tuple[np.ndarray, np.ndarray]] = []
-    for i in shared_idx:
-        p, q = na[i]
-        d = q - p
-        nlen = math.hypot(d[0], d[1])
-        if nlen == 0:
-            continue
-        # left normal of a CCW shell edge points into A's interior
-        off = np.array([-d[1], d[0]]) / nlen * (snap * 100)
-        mid = (p + q) / 2 + off
-        if not points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), b)[0]:
+    coin_a, codir_a, in_a = _onb_verdict(onb_a, b, snap, other_edges=nb)
+    for (p, q), coin, cod, ins in zip(onb_a, coin_a, codir_a, in_a):
+        left_in_b = cod if coin else ins
+        if not left_in_b:
             keep.append((p, q))
             kept_shared_a.append((p, q))
     # B-edges on A's boundary: the result can be bounded by B's own
     # boundary inside a sub-tolerance strip (B's edge hugging A's edge
     # from inside, classified 0 rather than 1). Keep reversed iff B's
     # RIGHT side (its exterior) lies inside A — that is where A \ B
-    # lives. Exact-shared duplicates collapse in _stitch; tolerance-
-    # zone double-keeps are removed by its degree repair.
+    # lives: midpoint-in-A when strictly off A's boundary,
+    # anti-direction when coincident. Exact-shared duplicates collapse
+    # in _stitch; tolerance-zone double-keeps are removed by its
+    # degree repair.
+    onb_b = [nb[i] for i in np.nonzero(cb == 0)[0]]
     kept_shared_b: list[tuple[np.ndarray, np.ndarray]] = []
-    for i in np.nonzero(cb == 0)[0]:
-        p, q = nb[i]
-        d = q - p
-        nlen = math.hypot(d[0], d[1])
-        if nlen == 0:
-            continue
-        off = np.array([d[1], -d[0]]) / nlen * (snap * 100)
-        mid = (p + q) / 2 + off
-        if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
+    coin_b, codir_b, in_b = _onb_verdict(onb_b, a, snap, other_edges=na)
+    for (p, q), coin, cod, ins in zip(onb_b, coin_b, codir_b, in_b):
+        right_in_a = (not cod) if coin else ins
+        if right_in_a:
             keep.append((q, p))
             kept_shared_b.append((q, p))
     rings, lost = _stitch(keep, snap)
@@ -857,34 +987,33 @@ def polygon_intersection(
     cb = _classify(nb, a, snap)
     keep = [(p, q) for (p, q), c in zip(na, ca) if c == 1]
     keep += [(p, q) for (p, q), c in zip(nb, cb) if c == 1]
-    # co-directed shared edges count once
+    # co-directed shared edges count once. An A-edge on B's boundary
+    # bounds A ∩ B iff its left (A-interior) side is inside B: exact
+    # midpoint point-in-polygon when strictly off B's boundary,
+    # co-direction with the underlying B segment when bit-coincident
+    # (interiors on the same side — the arrangement rule).
     seen = {(_key(p, snap), _key(q, snap)) for p, q in keep}
-    for (p, q), c in zip(na, ca):
-        if c == 0 and (_key(p, snap), _key(q, snap)) not in seen:
-            d = q - p
-            nlen = math.hypot(d[0], d[1])
-            if nlen == 0:
-                continue
-            off = np.array([-d[1], d[0]]) / nlen * (snap * 100)
-            mid = (p + q) / 2 + off
-            if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), b)[0]:
-                keep.append((p, q))
-                seen.add((_key(p, snap), _key(q, snap)))
+    onb_a = [e for e, c in zip(na, ca) if c == 0]
+    coin_a, codir_a, in_a = _onb_verdict(onb_a, b, snap, other_edges=nb)
+    for (p, q), coin, cod, ins in zip(onb_a, coin_a, codir_a, in_a):
+        if (_key(p, snap), _key(q, snap)) in seen:
+            continue
+        if cod if coin else ins:
+            keep.append((p, q))
+            seen.add((_key(p, snap), _key(q, snap)))
     # B-edges on A's boundary bounding a sub-tolerance strip of A ∩ B:
-    # keep as-is iff B's interior side (left) lies inside A. Mirrors
-    # the B-side rule in polygon_difference; duplicates cleaned by
-    # _stitch (key dedupe + degree repair).
-    for (p, q), c in zip(nb, cb):
-        if c == 0 and (_key(p, snap), _key(q, snap)) not in seen:
-            d = q - p
-            nlen = math.hypot(d[0], d[1])
-            if nlen == 0:
-                continue
-            off = np.array([-d[1], d[0]]) / nlen * (snap * 100)
-            mid = (p + q) / 2 + off
-            if points_in_polygon(np.array([mid[0]]), np.array([mid[1]]), a)[0]:
-                keep.append((p, q))
-                seen.add((_key(p, snap), _key(q, snap)))
+    # keep as-is iff B's interior side (left) lies inside A — same
+    # limit rule against A. Mirrors the B-side rule in
+    # polygon_difference; duplicates cleaned by _stitch (key dedupe +
+    # degree repair).
+    onb_b = [e for e, c in zip(nb, cb) if c == 0]
+    coin_b, codir_b, in_b = _onb_verdict(onb_b, a, snap, other_edges=na)
+    for (p, q), coin, cod, ins in zip(onb_b, coin_b, codir_b, in_b):
+        if (_key(p, snap), _key(q, snap)) in seen:
+            continue
+        if cod if coin else ins:
+            keep.append((p, q))
+            seen.add((_key(p, snap), _key(q, snap)))
     rings, lost = _stitch(keep, snap)
     result = _rings_to_polygons(rings, a.dims, snap)
     if not _snapped:
@@ -904,8 +1033,9 @@ def polygon_union(
     polys: list[Geometry], _snapped: bool = False
 ) -> Geometry | None:
     """N-ary union: keep boundary edges not strictly inside any other
-    input polygon; anti-directed shared edges cancel."""
-    flat = [p for g in polys for p in _as_polys(g)]
+    input polygon; anti-directed shared edges cancel. None inputs
+    (empty operands, e.g. an empty difference result) are skipped."""
+    flat = [p for g in polys if g is not None for p in _as_polys(g)]
     flat = [p for p in flat if p.data and abs(ring_signed_area(np.asarray(p.data[0]))) > 0]
     if not flat:
         return None
@@ -934,9 +1064,22 @@ def polygon_union(
 
     keep: list[tuple[np.ndarray, np.ndarray]] = []
     seg_cache = [None] * len(flat)
+    # noded chains for ALL polygons first: onb verdicts below must be
+    # judged against the NODED arrangement (chains detour onto the
+    # opposite set's vertices), not the original boundaries
+    near_all = [
+        [j for j in range(len(flat)) if j != i and _bbox_overlap(boxes[i], boxes[j])]
+        for i in range(len(flat))
+    ]
+    noded_all = [
+        _node_edges(per_poly_edges[i], [per_poly_edges[j] for j in near_all[i]], snap)
+        if near_all[i]
+        else per_poly_edges[i]
+        for i in range(len(flat))
+    ]
     for i, p in enumerate(flat):
-        near = [j for j in range(len(flat)) if j != i and _bbox_overlap(boxes[i], boxes[j])]
-        noded = _node_edges(per_poly_edges[i], [per_poly_edges[j] for j in near], snap)
+        near = near_all[i]
+        noded = noded_all[i]
         inside_any = np.zeros(len(noded), dtype=bool)
         onb_any = np.zeros(len(noded), dtype=bool)
         if near and noded:
@@ -961,35 +1104,31 @@ def polygon_union(
         # shared/near-shared boundary edges: keep iff the RIGHT side
         # (this polygon's own exterior — interior is left of a CCW
         # shell / normalized hole edge) is not covered by any other
-        # polygon. Side-sampling cancels anti-directed near-shared
-        # CHAINS even when the two sides were noded at different cut
-        # points (edge-level key matching cannot pair those); exact
-        # co-directed duplicates both survive and collapse via
-        # _stitch's directed-key dedupe, near-identical ones via its
-        # degree repair. Offset 100*snap is decisive: onb edges sit
-        # within 10*snap of the other boundary.
+        # polygon, evaluated in the off->0 limit per neighbor: exact
+        # midpoint point-in-polygon when strictly off j's boundary,
+        # anti-direction with j's underlying segment when
+        # bit-coincident (anti-directed shared CHAINS cancel even when
+        # the two sides were noded at different cut points — edge-level
+        # key matching cannot pair those). Exact co-directed duplicates
+        # both survive and collapse via _stitch's directed-key dedupe,
+        # near-identical ones via its degree repair.
         onb_keep = onb_any & ~inside_any
         if onb_keep.any():
-            onb_idx = np.nonzero(onb_keep)[0]
-            spts = []
-            sidx = []
-            for k in onb_idx:
-                p1, p2 = noded[k]
-                d = p2 - p1
-                nl = math.hypot(d[0], d[1])
-                if nl == 0:
-                    continue
-                off = np.array([d[1], -d[0]]) / nl * (snap * 100)
-                spts.append((p1 + p2) / 2 + off)
-                sidx.append(k)
-            if spts:
-                sarr = np.array(spts)
-                covered = np.zeros(len(sarr), dtype=bool)
-                for j in near:
-                    covered |= points_in_polygon(sarr[:, 0], sarr[:, 1], flat[j])
-                for k, cov in zip(sidx, covered):
-                    if not cov:
-                        keep.append(noded[k])
+            onb_idx = [
+                k
+                for k in np.nonzero(onb_keep)[0]
+                if math.hypot(*(noded[k][1] - noded[k][0])) > 0
+            ]
+            onb_edges = [noded[k] for k in onb_idx]
+            covered = np.zeros(len(onb_edges), dtype=bool)
+            for j in near:
+                coin, cod, ins = _onb_verdict(
+                    onb_edges, flat[j], snap, other_edges=noded_all[j]
+                )
+                covered |= np.where(coin, ~cod, ins)
+            for k, cov in zip(onb_idx, covered):
+                if not cov:
+                    keep.append(noded[k])
         for k, (p1, p2) in enumerate(noded):
             if not inside_any[k] and not onb_any[k]:
                 keep.append((p1, p2))

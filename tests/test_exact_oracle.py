@@ -1,0 +1,334 @@
+"""Grade the float overlay kernel against the exact rational oracle.
+
+geom/exact.py computes overlay AREAS in exact Fraction arithmetic via
+signed-trapezoid decomposition — no noding, classification, stitching,
+or snapping — so these tests judge geom/overlay.py on absolute values,
+not just internal identities. This closes the round-5 residual risk:
+a wrong overlay that preserves edge length and stays inside the
+retry-ladder's area envelopes would pass the identity sweeps, but it
+cannot also match an exact rational area.
+
+Tolerances follow the kernel's documented snapping envelope: vertices
+may move by up to the operation snap (max(1e-9, |coord|max * 1e-12)),
+and the coarse-retry ladder by 200x that, shifting areas by at most
+~grid * perimeter. Jittered inputs add eps * perimeter.
+
+Reference anchor: pygeoops delegates overlay correctness to GEOS
+(reference pygeoops/_difference.py:171-181); the oracle re-derives that
+ground truth independently.
+
+OVERLAY_SOAK=1000 scales every hypothesis sweep up for soak runs.
+"""
+
+import os
+from fractions import Fraction
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pygeoops_spark.geom import polygon
+from pygeoops_spark.geom.exact import (
+    exact_area,
+    exact_difference_area,
+    exact_intersection_area,
+    exact_symmetric_difference_area,
+    exact_union_area,
+    exact_union_pair_area,
+)
+from pygeoops_spark.geom.kernels import polygon_area
+from pygeoops_spark.geom.overlay import (
+    polygon_difference,
+    polygon_intersection,
+    polygon_union,
+)
+from pygeoops_spark.geom.wkb import MULTIPOLYGON, multi
+
+_SOAK = int(os.environ.get("OVERLAY_SOAK", "0"))
+
+
+def _n(base: int) -> int:
+    return max(base, _SOAK)
+
+
+def _area(g):
+    return 0.0 if g is None else polygon_area(g)
+
+
+# -- oracle self-tests (closed forms, no kernel involved) ------------------
+
+
+def test_oracle_pinned_closed_forms():
+    sq = lambda x0, y0, w, h: polygon(
+        [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+    )
+    a, b = sq(0, 0, 2, 2), sq(1, 1, 2, 2)
+    assert exact_area(a) == 4
+    assert exact_intersection_area(a, b) == 1
+    assert exact_difference_area(a, b) == 3
+    assert exact_union_pair_area(a, b) == 7
+    assert exact_symmetric_difference_area(a, b) == 6
+    # disjoint and nested
+    assert exact_intersection_area(a, sq(5, 5, 1, 1)) == 0
+    assert exact_intersection_area(a, sq(0.5, 0.5, 1, 1)) == 1
+    # holes subtract
+    holed = polygon(
+        [(0, 0), (4, 0), (4, 4), (0, 4)], holes=[[(1, 1), (3, 1), (3, 3), (1, 3)]]
+    )
+    assert exact_area(holed) == 12
+    assert exact_intersection_area(holed, sq(0, 0, 2, 4)) == 6
+    # shared-diagonal triangles: boundary-only contact has zero area
+    t1 = polygon([(0, 0), (4, 0), (0, 4)])
+    t2 = polygon([(4, 4), (0, 4), (4, 0)])
+    assert exact_intersection_area(t1, t2) == 0
+    # 3-way intersection and inclusion-exclusion union
+    assert exact_intersection_area(sq(0, 0, 3, 3), sq(1, 0, 3, 3), sq(0, 1, 3, 3)) == 4
+    assert exact_union_area([sq(0, 0, 2, 2), sq(1, 0, 2, 2), sq(10, 10, 1, 1)]) == 7
+    # multipolygon parts sum
+    mp = multi(MULTIPOLYGON, [sq(0, 0, 1, 1), sq(3, 0, 2, 1)])
+    assert exact_area(mp) == 3
+    assert exact_intersection_area(mp, sq(0, 0, 10, 10)) == 3
+
+
+def test_oracle_is_exact_on_float_coordinates():
+    # 0.1-style coords are dyadic rationals: the oracle result must be
+    # the EXACT product of the exact spans, not a float approximation.
+    sq = lambda x0, y0, w, h: polygon(
+        [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+    )
+    i = exact_intersection_area(sq(0.1, 0.1, 0.3, 0.3), sq(0.2, 0.2, 0.3, 0.3))
+    # the constructor adds 0.1+0.3 in FLOAT; the exact span is the
+    # Fraction of that rounded float minus the exact 0.2
+    span = Fraction(0.1 + 0.3) - Fraction(0.2)
+    assert i == span * span
+    assert i != Fraction(1, 25)  # and 0.04 is NOT representable: no rounding
+
+
+def test_oracle_orientation_insensitive():
+    # reversed shells / holes are re-canonicalized before decomposition
+    shell = [(0, 0), (4, 0), (4, 4), (0, 4)]
+    hole = [(1, 1), (3, 1), (3, 3), (1, 3)]
+    a = polygon(shell, holes=[hole])
+    b = polygon(shell[::-1], holes=[hole[::-1]])
+    assert exact_area(a) == exact_area(b) == 12
+    probe = polygon([(0, 0), (2, 0), (2, 4), (0, 4)])
+    assert exact_intersection_area(a, probe) == exact_intersection_area(b, probe) == 6
+
+
+# -- kernel vs oracle: pinned adversarial corpus ---------------------------
+
+
+def test_kernel_matches_exact_on_r04_counterexample():
+    """The round-4 wrong answer, graded on ABSOLUTE area this time."""
+    a = polygon([(10.0, 0.0), (24.8, 30.7), (12.1, 5.3)])
+    b = polygon([(10.0, 0.0), (24.8, 30.7), (12.1, 5.287)])
+    exact_i = float(exact_intersection_area(a, b))
+    got = _area(polygon_intersection(a, b))
+    assert got == pytest.approx(exact_i, abs=1e-6)
+    for x, y in ((a, b), (b, a)):
+        assert _area(polygon_difference(x, y)) == pytest.approx(
+            float(exact_difference_area(x, y)), abs=1e-6
+        )
+    assert _area(polygon_union([a, b])) == pytest.approx(
+        float(exact_union_pair_area(a, b)), abs=1e-6
+    )
+
+
+def test_kernel_matches_exact_on_vertex_on_edge():
+    # vertex 1e-9 off the other polygon's edge — the snapping envelope
+    # allows only ~snap * perimeter of area drift
+    a = polygon([(0.0, 0.0), (10.0, 0.0), (5.0, 8.0)])
+    b = polygon([(2.0, 1e-9), (8.0, 1e-9), (5.0, -6.0)])
+    exact_i = float(exact_intersection_area(a, b))
+    assert _area(polygon_intersection(a, b)) == pytest.approx(exact_i, abs=1e-6)
+    assert _area(polygon_difference(a, b)) == pytest.approx(
+        float(exact_difference_area(a, b)), abs=1e-6
+    )
+
+
+# -- kernel vs oracle: hypothesis sweeps -----------------------------------
+
+coords = st.integers(min_value=0, max_value=40)
+
+
+@st.composite
+def boxes(draw):
+    x0, y0 = draw(coords), draw(coords)
+    w = draw(st.integers(min_value=1, max_value=15))
+    h = draw(st.integers(min_value=1, max_value=15))
+    return polygon([(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)])
+
+
+@st.composite
+def l_shapes(draw):
+    x0, y0 = draw(coords), draw(coords)
+    w = draw(st.integers(min_value=2, max_value=12))
+    h = draw(st.integers(min_value=2, max_value=12))
+    nw = draw(st.integers(min_value=1, max_value=w - 1))
+    nh = draw(st.integers(min_value=1, max_value=h - 1))
+    return polygon(
+        [
+            (x0, y0),
+            (x0 + w, y0),
+            (x0 + w, y0 + nh),
+            (x0 + nw, y0 + nh),
+            (x0 + nw, y0 + h),
+            (x0, y0 + h),
+        ]
+    )
+
+
+@st.composite
+def convex_polys(draw):
+    cx = draw(st.integers(min_value=5, max_value=35))
+    cy = draw(st.integers(min_value=5, max_value=35))
+    k = draw(st.integers(min_value=3, max_value=8))
+    rad = draw(st.integers(min_value=2, max_value=9))
+    angles = np.sort(draw(
+        st.lists(
+            st.floats(min_value=0.0, max_value=2 * np.pi - 1e-3),
+            min_size=k, max_size=k, unique=True,
+        )
+    ))
+    pts = [(cx + rad * np.cos(t), cy + rad * np.sin(t)) for t in angles]
+    return polygon(pts)
+
+
+@settings(max_examples=_n(150), deadline=None)
+@given(boxes(), l_shapes())
+def test_kernel_areas_match_exact_box_vs_lshape(a, b):
+    exact_i = float(exact_intersection_area(a, b))
+    assert _area(polygon_intersection(a, b)) == pytest.approx(exact_i, abs=1e-9)
+    assert _area(polygon_difference(a, b)) == pytest.approx(
+        float(exact_difference_area(a, b)), abs=1e-9
+    )
+    assert _area(polygon_union([a, b])) == pytest.approx(
+        float(exact_union_pair_area(a, b)), abs=1e-9
+    )
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(convex_polys(), convex_polys())
+def test_kernel_constructive_symdiff_matches_exact(a, b):
+    """union(A\\B, B\\A) — three chained kernel ops whose intermediate
+    results share noded boundaries — graded on the absolute exact
+    symmetric-difference area. Caught the phantom-crossing noding bug
+    (near-parallel pieces sharing an endpoint)."""
+    if polygon_area(a) < 1e-6 or polygon_area(b) < 1e-6:
+        return
+    u = polygon_union([polygon_difference(a, b), polygon_difference(b, a)])
+    assert _area(u) == pytest.approx(
+        float(exact_symmetric_difference_area(a, b)), abs=1e-6
+    )
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(convex_polys(), convex_polys())
+def test_kernel_areas_match_exact_convex(a, b):
+    if polygon_area(a) < 1e-6 or polygon_area(b) < 1e-6:
+        return
+    exact_i = float(exact_intersection_area(a, b))
+    assert _area(polygon_intersection(a, b)) == pytest.approx(exact_i, abs=1e-6)
+    assert _area(polygon_difference(a, b)) == pytest.approx(
+        float(exact_difference_area(a, b)), abs=1e-6
+    )
+
+
+@settings(max_examples=_n(80), deadline=None)
+@given(st.lists(boxes(), min_size=2, max_size=4))
+def test_kernel_nary_union_matches_exact(parts):
+    got = _area(polygon_union(parts))
+    assert got == pytest.approx(float(exact_union_area(parts)), abs=1e-9)
+
+
+@settings(max_examples=_n(80), deadline=None)
+@given(boxes(), st.integers(min_value=1, max_value=6), st.integers(min_value=1, max_value=6))
+def test_kernel_holed_intersection_matches_exact(outer, hx, hy):
+    from hypothesis import assume
+
+    (x0, y0), (x1, y1) = outer.data[0][0], outer.data[0][2]
+    w, h = x1 - x0, y1 - y0
+    assume(w >= 3 and h >= 3)
+    hole = [
+        (x0 + 1, y0 + 1),
+        (x0 + 1 + min(hx, w - 2), y0 + 1),
+        (x0 + 1 + min(hx, w - 2), y0 + 1 + min(hy, h - 2)),
+        (x0 + 1, y0 + 1 + min(hy, h - 2)),
+    ]
+    holed = polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], holes=[hole])
+    probe = polygon([(x0, y0), (x0 + w / 2, y0), (x0 + w / 2, y1), (x0, y1)])
+    exact_i = float(exact_intersection_area(holed, probe))
+    assert _area(polygon_intersection(holed, probe)) == pytest.approx(
+        exact_i, abs=1e-9
+    )
+    assert _area(polygon_difference(holed, probe)) == pytest.approx(
+        float(exact_difference_area(holed, probe)), abs=1e-9
+    )
+
+
+# -- kernel vs oracle: near-coincident boundaries under jitter -------------
+# The family the retry-ladder triggers cannot provably catch: two
+# parcels split by a chord, parcel B's chord endpoints perturbed by
+# eps. Graded on absolute exact areas, not identities.
+
+
+@st.composite
+def parcel_pairs(draw):
+    w = draw(st.integers(min_value=6, max_value=20))
+    h = draw(st.integers(min_value=6, max_value=20))
+    cut1 = draw(st.integers(min_value=1, max_value=w - 1))
+    cut2 = draw(st.integers(min_value=1, max_value=w - 1))
+    eps = draw(st.sampled_from([0.0, 1e-12, 1e-9, 1e-7]))
+    sgn = draw(st.sampled_from([-1.0, 1.0]))
+    a = polygon([(0, 0), (cut1, 0), (cut2, h), (0, h)])
+    b = polygon(
+        [(cut1 + sgn * eps, 0.0), (w, 0.0), (w, h), (cut2 + sgn * eps, float(h))]
+    )
+    return a, b, eps
+
+
+@settings(max_examples=_n(150), deadline=None)
+@given(parcel_pairs())
+def test_kernel_matches_exact_under_jitter(t):
+    a, b, eps = t
+    if polygon_area(a) < 1e-6 or polygon_area(b) < 1e-6:
+        return
+    tol = 1e-6 + eps * 500
+    assert _area(polygon_intersection(a, b)) == pytest.approx(
+        float(exact_intersection_area(a, b)), abs=tol
+    )
+    assert _area(polygon_difference(a, b)) == pytest.approx(
+        float(exact_difference_area(a, b)), abs=tol
+    )
+    assert _area(polygon_difference(b, a)) == pytest.approx(
+        float(exact_difference_area(b, a)), abs=tol
+    )
+    assert _area(polygon_union([a, b])) == pytest.approx(
+        float(exact_union_pair_area(a, b)), abs=tol
+    )
+
+
+@settings(max_examples=_n(80), deadline=None)
+@given(parcel_pairs(), st.sampled_from([1e5, 5e5, 1e6]))
+def test_kernel_matches_exact_under_jitter_projected(t, offset):
+    """Same family at projected-CRS magnitudes: the scale-relative snap
+    (offset * 1e-12, coarse retry 200x) widens the allowed drift by
+    grid * perimeter."""
+    a, b, eps = t
+    if polygon_area(a) < 1e-6 or polygon_area(b) < 1e-6:
+        return
+
+    def shift(g):
+        return polygon([(x + offset, y + offset) for x, y in np.asarray(g.data[0])])
+
+    sa, sb = shift(a), shift(b)
+    perim = 4 * (40 + 2 * offset)  # generous bound on both perimeters
+    grid = 200 * max(1e-9, (offset + 40) * 1e-12)
+    tol = 1e-6 + eps * 500 + grid * perim
+    assert _area(polygon_intersection(sa, sb)) == pytest.approx(
+        float(exact_intersection_area(sa, sb)), abs=tol
+    )
+    assert _area(polygon_difference(sa, sb)) == pytest.approx(
+        float(exact_difference_area(sa, sb)), abs=tol
+    )
