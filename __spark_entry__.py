@@ -974,10 +974,18 @@ def _q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + the BPE-ish subtoken estimate (the former
-    token_count query folded in — n_words was already shared)."""
-    from pygeoops_spark.text.quality import quality_features, subtoken_estimate
+    token_count query folded in — n_words was already shared) + the
+    Gopher/RefinedWeb repetition signals (v2: vocabulary size,
+    duplicate-word/bigram fractions, top-word coverage) — all one
+    shuffle-free projection over the scan."""
+    from pygeoops_spark.text.quality import (
+        quality_features,
+        repetition_signals,
+        subtoken_estimate,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = repetition_signals("text")
     return quality_features(docs).select(
         "doc_id",
         "n_chars_q",
@@ -987,6 +995,7 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punct_ratio",
         "avg_word_len",
         "quality_score",
+        *[c.alias(k) for k, c in rep.items()],
     )
 
 
@@ -2068,8 +2077,16 @@ def oracle_sql() -> dict[str, str]:
                    round(least(CAST(n_words AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
                          + least(stopword_ratio * CAST(5 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
                          + CASE WHEN avg_word_len >= 3 AND avg_word_len <= 10 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
-                         6) AS quality_score
-            FROM g JOIN documents USING (doc_id)
+                         6) AS quality_score,
+                   CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+                   round((len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE), 6) AS dup_word_frac,
+                   round(list_max(list_transform(list_distinct(w), x -> len(list_filter(w, y -> y = x)))) / CAST(len(w) AS DOUBLE), 6) AS top_word_frac,
+                   CASE WHEN len(w) >= 2
+                        THEN round((len(w) - 1 - len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])))) / CAST(len(w) - 1 AS DOUBLE), 6)
+                        ELSE 0.0 END AS dup_2gram_frac
+            FROM g
+            JOIN documents USING (doc_id)
+            JOIN (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents) USING (doc_id)
         """,
         "text_signals": r"""
 

@@ -69,6 +69,46 @@ def quality_features(df: DataFrame, text: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def repetition_signals(text: Column | str) -> dict[str, Column]:
+    """Gopher/RefinedWeb-style repetition quality signals (Rae et al.
+    2021 "Scaling Language Models"; Penedo et al. 2023 "The RefinedWeb
+    Dataset") as pure array projections — no shuffle, no UDF, rides
+    the same scan as the other quality features:
+
+    * ``n_distinct_words`` — document vocabulary size
+    * ``dup_word_frac`` — fraction of word occurrences that are repeats
+    * ``top_word_frac`` — coverage of the single most frequent word
+    * ``dup_2gram_frac`` — fraction of bigram occurrences that repeat
+
+    top_word_frac is O(V * N) per row (V = distinct words) inside the
+    projection; repetition-heavy documents have small V, clean ones
+    bounded by N — fine for web-page-scale rows at 100 TB.
+    """
+    w = words_col(text)
+    n = F.size(w)
+    distinct = F.array_distinct(w)
+    n_distinct = F.size(distinct)
+    top = F.array_max(
+        F.transform(distinct, lambda x: F.size(F.filter(w, lambda y: y == x)))
+    )
+    # bigrams via 1-based element_at; sequence(1, n-1) would DESCEND for
+    # n < 2, so the whole term is guarded
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    dup2 = F.when(
+        n >= 2,
+        F.round((n - 1 - F.size(F.array_distinct(bigrams))) / (n - 1), 6),
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_distinct_words": n_distinct.cast("long"),
+        "dup_word_frac": F.round((n - n_distinct) / n, 6),
+        "top_word_frac": F.round(top / n, 6),
+        "dup_2gram_frac": dup2,
+    }
+
+
 def langid_scores(text: Column | str) -> dict[str, Column]:
     """Per-language marker-word hit counts (word-boundary regex)."""
     text = F.col(text) if isinstance(text, str) else text

@@ -267,6 +267,39 @@ def test_kernel_holed_intersection_matches_exact(outer, hx, hy):
     )
 
 
+def test_difference_all_driver_corpus_matches_exact():
+    """The driver `difference` query's full 64-zone corpus (synth_zones
+    arithmetic, both variants) graded against exact rational areas at
+    kernel level — v1: zone minus two interior boxes; v2: adversarial
+    shared-boundary subtrahends (full-edge strip + triangle with an
+    apex 1e-9 inside the right edge)."""
+    from pygeoops_spark.geom.difference import difference_all
+
+    for zid in range(64):
+        zcol, zrow = zid % 8, zid // 8
+        x0 = zcol * 125 + (zid * 37) % 20 - 10.0
+        y0 = zrow * 125 + (zid * 53) % 20 - 10.0
+        x1 = x0 + 100 + (zid * 29) % 40
+        y1 = y0 + 100 + (zid * 41) % 40
+        zone = polygon([(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+        for subs in (
+            [
+                polygon([(x0 + 10, y0 + 10), (x0 + 30, y0 + 10), (x0 + 30, y0 + 30), (x0 + 10, y0 + 30)]),
+                polygon([(x1 - 30, y1 - 30), (x1 - 10, y1 - 30), (x1 - 10, y1 - 10), (x1 - 30, y1 - 10)]),
+            ],
+            [
+                polygon([(x0, y0), (x0 + 20, y0), (x0 + 20, y1), (x0, y1)]),
+                polygon([(x1 - 40, y0), (x1, y0), (x1 - 1e-9, y0 + 30)]),
+            ],
+        ):
+            got = _area(difference_all(zone, subs))
+            i1 = exact_intersection_area(zone, subs[0])
+            i2 = exact_intersection_area(zone, subs[1])
+            i12 = exact_intersection_area(zone, subs[0], subs[1])
+            want = float(exact_area(zone) - (i1 + i2 - i12))
+            assert got == pytest.approx(want, abs=1e-6), (zid, got, want)
+
+
 # -- kernel vs oracle: near-coincident boundaries under jitter -------------
 # The family the retry-ladder triggers cannot provably catch: two
 # parcels split by a chord, parcel B's chord endpoints perturbed by

@@ -58,6 +58,18 @@ def test_tile_assignment_no_shuffle(spark, sf_dir):
     assert "Exchange" not in plan  # pure projection over the scan
 
 
+def test_quality_with_repetition_signals_no_shuffle(spark, sf_dir):
+    from pygeoops_spark.text.quality import quality_features, repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rep = repetition_signals("text")
+    q = quality_features(docs).select(
+        "doc_id", "quality_score", *[c.alias(k) for k, c in rep.items()]
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # rides the scan, incl. top-word coverage
+
+
 def test_jaccard_candidates_no_cartesian(spark, sf_dir):
     """The prefix-filtered candidate join must be a hash/sort-merge
     equi-join on the shingle hash — never a cartesian/nested-loop —

@@ -75,6 +75,54 @@ def test_quality_and_langid(docs):
     assert {r["lang_pred"] for r in preds} <= {"en", "es", "de", "fr", "und"}
 
 
+def test_repetition_signals_known_values(spark):
+    """Gopher/RefinedWeb repetition signals on hand-computed strings."""
+    from pygeoops_spark.text.quality import repetition_signals
+
+    rows = [
+        # "a b a b a": 5 words, 2 distinct, top 'a' x3; bigrams
+        # [a b, b a, a b, b a] -> 2 distinct of 4
+        (1, "a b a b a"),
+        # all distinct words and bigrams
+        (2, "w x y z"),
+        # single word: bigram fraction guarded to 0
+        (3, "solo"),
+        # fully repeated
+        (4, "dup dup dup dup"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = repetition_signals("text")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in df.select("doc_id", *[c.alias(k) for k, c in sig.items()]).collect()
+    }
+    assert got[1] == {
+        "doc_id": 1,
+        "n_distinct_words": 2,
+        "dup_word_frac": 0.6,
+        "top_word_frac": 0.6,
+        "dup_2gram_frac": 0.5,
+    }
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["top_word_frac"] == 0.25
+    assert got[3] == {
+        "doc_id": 3,
+        "n_distinct_words": 1,
+        "dup_word_frac": 0.0,
+        "top_word_frac": 1.0,
+        "dup_2gram_frac": 0.0,
+    }
+    # 3 bigrams, 1 distinct -> (3 - 1) / 3 repeats
+    assert got[4] == {
+        "doc_id": 4,
+        "n_distinct_words": 1,
+        "dup_word_frac": 0.75,
+        "top_word_frac": 1.0,
+        "dup_2gram_frac": 0.666667,
+    }
+
+
 def test_fingerprint_deterministic(docs):
     from pygeoops_spark.text.quality import doc_fingerprint
 
