@@ -404,6 +404,8 @@ def _onb_verdict(
     other: Geometry,
     snap: float,
     other_edges: list[tuple[np.ndarray, np.ndarray]] | None = None,
+    segs_arr: np.ndarray | None = None,
+    inside: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Keep/drop evidence for edges lying in ``other``'s coincidence
     band, as the exact off->0 limit of side sampling. Returns per-edge
@@ -436,22 +438,32 @@ def _onb_verdict(
     intersection kernel emptying a 0.09-area overlap through a
     100*snap sample, and a 14-degree corner wedge through a
     quarter-edge-length one.
+
+    ``segs_arr`` (precomputed (m, 4) chain array) and ``inside``
+    (precomputed raw midpoint PIP) let hot callers — polygon_union
+    evaluates one verdict per (polygon, neighbor) onb subset — skip
+    the rebuild/re-test; semantics are identical.
     """
     n = len(edges)
     empty = np.zeros(n, dtype=bool)
     if n == 0:
         return empty, empty, empty
-    if other_edges is not None:
-        seg_rows = [np.concatenate([e[0], e[1]]) for e in other_edges]
+    if segs_arr is not None:
+        segs = segs_arr
     else:
-        seg_rows = [
-            np.concatenate([e[0], e[1]])
-            for p in _as_polys(other)
-            for e in _poly_edges(p)
-        ]
-    if not seg_rows:
+        if other_edges is not None:
+            seg_rows = [np.concatenate([e[0], e[1]]) for e in other_edges]
+        else:
+            seg_rows = [
+                np.concatenate([e[0], e[1]])
+                for p in _as_polys(other)
+                for e in _poly_edges(p)
+            ]
+        if not seg_rows:
+            return empty, empty, empty
+        segs = np.vstack(seg_rows)
+    if not len(segs):
         return empty, empty, empty
-    segs = np.vstack(seg_rows)
     mids = _midpoints(edges)
     px, py = mids[:, 0][:, None], mids[:, 1][:, None]
     from pygeoops_spark.geom.kernels import point_segment_distance
@@ -487,7 +499,8 @@ def _onb_verdict(
     )
     edir = np.array([q - p for p, q in edges], dtype=float)
     codir = edir[:, 0] * dx + edir[:, 1] * dy > 0
-    inside = points_in_polygon(mids[:, 0], mids[:, 1], other)
+    if inside is None:
+        inside = points_in_polygon(mids[:, 0], mids[:, 1], other)
     return coincident, codir, np.asarray(inside, dtype=bool)
 
 
@@ -1064,6 +1077,7 @@ def polygon_union(
 
     keep: list[tuple[np.ndarray, np.ndarray]] = []
     seg_cache = [None] * len(flat)
+    noded_segs: list[np.ndarray | None] = [None] * len(flat)
     # noded chains for ALL polygons first: onb verdicts below must be
     # judged against the NODED arrangement (chains detour onto the
     # opposite set's vertices), not the original boundaries
@@ -1082,12 +1096,15 @@ def polygon_union(
         noded = noded_all[i]
         inside_any = np.zeros(len(noded), dtype=bool)
         onb_any = np.zeros(len(noded), dtype=bool)
+        per_j: list[tuple[int, np.ndarray, np.ndarray]] = []  # (j, raw pip, onb mask)
         if near and noded:
             # one midpoint build shared across the per-neighbor passes
             # (rebuilding it for every j was the profiled union hot
             # spot); segments cached per polygon across the outer loop.
             # Per-j semantics preserved: a midpoint ON j's boundary is
-            # NOT inside j even when the crossing test says so.
+            # NOT inside j even when the crossing test says so. The raw
+            # PIP and onb masks are kept per neighbor so the onb-keep
+            # phase below can reuse them instead of re-testing.
             mids = _midpoints(noded)
             for j in near:
                 if seg_cache[j] is None:
@@ -1098,8 +1115,11 @@ def polygon_union(
                     onb_j = _min_boundary_dist(mids, segs) <= snap * 10
                 else:
                     onb_j = np.zeros(len(noded), dtype=bool)
-                in_j = points_in_polygon(mids[:, 0], mids[:, 1], flat[j]) & ~onb_j
-                inside_any |= in_j
+                pip_j = np.asarray(
+                    points_in_polygon(mids[:, 0], mids[:, 1], flat[j]), dtype=bool
+                )
+                per_j.append((j, pip_j, onb_j))
+                inside_any |= pip_j & ~onb_j
                 onb_any |= onb_j
         # shared/near-shared boundary edges: keep iff the RIGHT side
         # (this polygon's own exterior — interior is left of a CCW
@@ -1119,13 +1139,33 @@ def polygon_union(
                 for k in np.nonzero(onb_keep)[0]
                 if math.hypot(*(noded[k][1] - noded[k][0])) > 0
             ]
-            onb_edges = [noded[k] for k in onb_idx]
-            covered = np.zeros(len(onb_edges), dtype=bool)
-            for j in near:
-                coin, cod, ins = _onb_verdict(
-                    onb_edges, flat[j], snap, other_edges=noded_all[j]
-                )
-                covered |= np.where(coin, ~cod, ins)
+            covered = np.zeros(len(onb_idx), dtype=bool)
+            for j, pip_j, onb_j in per_j:
+                # edges >= the 10*snap band away from j's boundary can
+                # never be coincident with its noded chain (detours are
+                # bounded by the band): the off->0 limit is just the
+                # raw midpoint PIP already computed above. Only the
+                # true onb-vs-j subset needs the coincidence test.
+                sel = [s for s, k in enumerate(onb_idx) if onb_j[k]]
+                for s, k in enumerate(onb_idx):
+                    if not onb_j[k]:
+                        covered[s] |= pip_j[k]
+                if sel:
+                    if noded_segs[j] is None:
+                        noded_segs[j] = np.array(
+                            [np.concatenate(e) for e in noded_all[j]]
+                        )
+                    sub = [noded[onb_idx[s]] for s in sel]
+                    coin, cod, ins = _onb_verdict(
+                        sub,
+                        flat[j],
+                        snap,
+                        segs_arr=noded_segs[j],
+                        inside=pip_j[[onb_idx[s] for s in sel]],
+                    )
+                    cov_sub = np.where(coin, ~cod, ins)
+                    for s, c in zip(sel, cov_sub):
+                        covered[s] |= c
             for k, cov in zip(onb_idx, covered):
                 if not cov:
                     keep.append(noded[k])

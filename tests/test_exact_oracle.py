@@ -300,6 +300,21 @@ def test_difference_all_driver_corpus_matches_exact():
             assert got == pytest.approx(want, abs=1e-6), (zid, got, want)
 
 
+@settings(max_examples=_n(100), deadline=None)
+@given(l_shapes(), boxes())
+def test_clip_polygon_rect_matches_exact(subject, rect):
+    """The Sutherland-Hodgman rect clip (geom/clip.py, the kernel under
+    subdivide and tiled difference) graded against the exact oracle:
+    clip area == exact area of subject ∩ rect."""
+    from pygeoops_spark.geom.clip import clip_polygon_rect
+
+    (x0, y0), (x1, y1) = rect.data[0][0], rect.data[0][2]
+    clipped = clip_polygon_rect(subject, x0, y0, x1, y1)
+    assert _area(clipped) == pytest.approx(
+        float(exact_intersection_area(subject, rect)), abs=1e-9
+    )
+
+
 # -- kernel vs oracle: near-coincident boundaries under jitter -------------
 # The family the retry-ladder triggers cannot provably catch: two
 # parcels split by a chord, parcel B's chord endpoints perturbed by
