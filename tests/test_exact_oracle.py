@@ -116,7 +116,102 @@ def test_oracle_orientation_insensitive():
     assert exact_intersection_area(a, probe) == exact_intersection_area(b, probe) == 6
 
 
-# -- kernel vs oracle: pinned adversarial corpus ---------------------------
+# -- oracle vs oracle: independent exact method ----------------------------
+# Sutherland-Hodgman halfplane clipping in pure Fractions — a SECOND
+# exact algorithm sharing no code or structure with the trapezoid
+# decomposition — must agree bit-for-bit on convex pairs.
+
+
+def _frac_pts(g):
+    ring = np.asarray(g.data[0], dtype=float)[:, :2]
+    pts = [(Fraction(float(x)), Fraction(float(y))) for x, y in ring]
+    if pts[0] == pts[-1]:
+        pts.pop()
+    # force CCW
+    area2 = sum(
+        pts[i][0] * pts[(i + 1) % len(pts)][1]
+        - pts[(i + 1) % len(pts)][0] * pts[i][1]
+        for i in range(len(pts))
+    )
+    return pts if area2 > 0 else pts[::-1]
+
+
+def _sh_clip_exact(subject, clipper):
+    """Exact Sutherland-Hodgman: clip CCW convex `subject` points by
+    each CCW edge halfplane of convex `clipper`. All rational."""
+    out = subject
+    m = len(clipper)
+    for i in range(m):
+        (ax, ay), (bx, by) = clipper[i], clipper[(i + 1) % m]
+        ex, ey = bx - ax, by - ay
+
+        def side(p):
+            return ex * (p[1] - ay) - ey * (p[0] - ax)  # >=0 is inside (left)
+
+        cur, out = out, []
+        for j in range(len(cur)):
+            p, q = cur[j], cur[(j + 1) % len(cur)]
+            sp, sq = side(p), side(q)
+            if sp >= 0:
+                out.append(p)
+            if (sp > 0 and sq < 0) or (sp < 0 and sq > 0):
+                t = sp / (sp - sq)
+                out.append((p[0] + t * (q[0] - p[0]), p[1] + t * (q[1] - p[1])))
+        if not out:
+            return []
+    return out
+
+
+def _shoelace_frac(pts):
+    n = len(pts)
+    return (
+        sum(
+            pts[i][0] * pts[(i + 1) % n][1] - pts[(i + 1) % n][0] * pts[i][1]
+            for i in range(n)
+        )
+        / 2
+        if n >= 3
+        else Fraction(0)
+    )
+
+
+def test_oracle_cross_check_pinned():
+    sq = lambda x0, y0, w, h: polygon(
+        [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+    )
+    cases = [
+        (sq(0, 0, 2, 2), sq(1, 1, 2, 2)),
+        (sq(0.1, 0.1, 0.3, 0.3), sq(0.2, 0.2, 0.3, 0.3)),
+        (polygon([(0, 0), (4, 0), (0, 4)]), polygon([(1, 1), (5, 1), (1, 5)])),
+        (polygon([(0, 0), (4, 0), (0, 4)]), polygon([(4, 4), (0, 4), (4, 0)])),
+    ]
+    for a, b in cases:
+        sh = _shoelace_frac(_sh_clip_exact(_frac_pts(a), _frac_pts(b)))
+        assert sh == exact_intersection_area(a, b)  # EXACT equality
+
+
+def test_oracle_cross_check_sweep():
+    """Randomized cross-check: both exact methods agree BIT-FOR-BIT on
+    random convex pairs (rationals — no tolerance anywhere)."""
+    rng = np.random.default_rng(11)
+    n_pairs = max(200, _SOAK)
+    for _ in range(n_pairs):
+        polys = []
+        for _k in range(2):
+            cx, cy = rng.uniform(5, 35, 2)
+            k = int(rng.integers(3, 9))
+            angles = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(2, 9)
+            pts = [(cx + rad * np.cos(t), cy + rad * np.sin(t)) for t in angles]
+            polys.append(polygon(pts))
+        a, b = polys
+        from pygeoops_spark.geom.kernels import polygon_area as _pa
+
+        if _pa(a) <= 0 or _pa(b) <= 0:
+            continue
+        sh = _shoelace_frac(_sh_clip_exact(_frac_pts(a), _frac_pts(b)))
+        trap = exact_intersection_area(a, b)
+        assert sh == trap, (a.data[0], b.data[0])
 
 
 def test_kernel_matches_exact_on_r04_counterexample():
