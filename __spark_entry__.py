@@ -118,10 +118,66 @@ def _q_grid_create(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_grid_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1 — the bbox fast path (4 rectangles -> 12 slabs). v2 — the
+    GEOMETRY path (split_tile_geometry): each cell becomes an L (cell
+    minus its top-right quadrant; the L's bounds still span the full
+    cell), split 3-way along y; the three pieces' bounds and areas are
+    exact dyadic closed forms the oracle recomputes (full-width slab
+    2.5, L-piece 1.875, left-column slab 1.25)."""
+    from pyspark.sql.types import ArrayType, BinaryType, DoubleType
+
+    from pygeoops_spark.geom import polygon as mk_poly
+    from pygeoops_spark.geom.kernels import polygon_area
+    from pygeoops_spark.geom.wkb import bounds as g_bounds, wkb_dumps, wkb_loads
     from pygeoops_spark.operators.grid import create_grid, split_tiles
 
     base = create_grid(spark, (40.0, 40.0, 45.0, 46.0), 2, 2)
-    return split_tiles(base, 12).select("tile_id", "xmin", "ymin", "xmax", "ymax")
+    v1 = split_tiles(base, 12).select(
+        F.lit(1).alias("variant"),
+        "tile_id",
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+        F.round(
+            (F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin")), 6
+        ).alias("area"),
+    )
+
+    @F.pandas_udf(BinaryType())
+    def l_wkb(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        out = []
+        for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax):
+            xm, ym = x0 + (x1 - x0) / 2, y0 + (y1 - y0) / 2
+            out.append(
+                wkb_dumps(
+                    mk_poly([(x0, y0), (x1, y0), (x1, ym), (xm, ym), (xm, y1), (x0, y1)])
+                )
+            )
+        return pd.Series(out)
+
+    ltiles = base.select("tile_id", l_wkb("xmin", "ymin", "xmax", "ymax").alias("wkb"))
+    pieces = split_tiles(ltiles, 12, wkb_col="wkb")
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def piece_stats(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for b in wkbs:
+            g = wkb_loads(bytes(b))
+            bx0, by0, bx1, by1 = g_bounds(g)
+            out.append([bx0, by0, bx1, by1, polygon_area(g)])
+        return pd.Series(out)
+
+    v2 = pieces.withColumn("_s", piece_stats("wkb")).select(
+        F.lit(2).alias("variant"),
+        "tile_id",
+        F.round(F.col("_s")[0], 6).alias("xmin"),
+        F.round(F.col("_s")[1], 6).alias("ymin"),
+        F.round(F.col("_s")[2], 6).alias("xmax"),
+        F.round(F.col("_s")[3], 6).alias("ymax"),
+        F.round(F.col("_s")[4], 6).alias("area"),
+    )
+    return v1.unionByName(v2)
 
 
 def _q_grid_create3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,9 +790,101 @@ def _q_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series([wkb_dumps(mk_point(a, b)) for a, b in zip(x, y)])
 
     pts = pts.withColumn("wkb", point_wkb("x", "y"))
-    return collect_agg(pts, ["tile_id"], "wkb").select(
-        "tile_id", "n_parts", "geom_type_id"
+    v1 = collect_agg(pts, ["tile_id"], "wkb").select(
+        F.lit(1).alias("variant"),
+        "tile_id",
+        F.col("n_parts").cast("long").alias("n_parts"),
+        "geom_type_id",
+        F.lit(0).cast("long").alias("area_s6"),
     )
+
+    # v2 — make_valid promoted to the oracle: per zone, a bowtie quad
+    # (self-intersecting: corners in (ll, ur, lr, ul) order) repairs
+    # under nonzero winding to a 2-part multipolygon whose area is
+    # exactly w*h/2 — a closed form DuckDB recomputes from the zone
+    # arithmetic. Scaled-integer BIGINT area per the oracle discipline.
+    from pygeoops_spark.corpus.pages import synth_zones
+
+    @F.pandas_udf("binary")
+    def bowtie_wkb(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        from pygeoops_spark.geom import polygon as mk_poly, wkb_dumps
+
+        return pd.Series(
+            [
+                wkb_dumps(mk_poly([(x0, y0), (x1, y1), (x1, y0), (x0, y1)]))
+                for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax)
+            ]
+        )
+
+    @F.pandas_udf("array<double>")
+    def repaired_stats(wkbs: pd.Series) -> pd.Series:
+        from pygeoops_spark.geom.kernels import polygon_area
+        from pygeoops_spark.geom.validity import make_valid
+        from pygeoops_spark.geom.wkb import get_parts, wkb_loads
+
+        out = []
+        for b in wkbs:
+            g = make_valid(wkb_loads(bytes(b)))
+            out.append(
+                [float(len(get_parts(g))), float(g.type_id), polygon_area(g)]
+            )
+        return pd.Series(out)
+
+    zones = synth_zones(spark)
+    v2 = (
+        zones.withColumn("_b", bowtie_wkb("xmin", "ymin", "xmax", "ymax"))
+        .withColumn("_s", repaired_stats("_b"))
+        .select(
+            F.lit(2).alias("variant"),
+            F.col("zone_id").alias("tile_id"),
+            F.col("_s")[0].cast("long").alias("n_parts"),
+            F.col("_s")[1].cast("int").alias("geom_type_id"),
+            F.round(F.col("_s")[2] * 1e6).cast("long").alias("area_s6"),
+        )
+    )
+
+    # v3 — collection_extract promoted to the oracle: a mixed
+    # GEOMETRYCOLLECTION per zone (center point, diagonal line, and the
+    # bottom-left quadrant rectangle); extracting POLYGON keeps exactly
+    # the quadrant -> 1 part, type 3, exact area w*h/4.
+    @F.pandas_udf("array<double>")
+    def extract_stats(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        from pygeoops_spark.geom import (
+            linestring as mk_line2,
+            point as mk_point2,
+            polygon as mk_poly2,
+        )
+        from pygeoops_spark.geom.general import collection_extract
+        from pygeoops_spark.geom.kernels import polygon_area
+        from pygeoops_spark.geom.wkb import collection, get_parts
+
+        out = []
+        for x0, y0, x1, y1 in zip(xmin, ymin, xmax, ymax):
+            xm, ym = x0 + (x1 - x0) / 2, y0 + (y1 - y0) / 2
+            col = collection(
+                [
+                    mk_point2(xm, ym),
+                    mk_line2([(x0, y0), (x1, y1)]),
+                    mk_poly2([(x0, y0), (xm, y0), (xm, ym), (x0, ym)]),
+                ]
+            )
+            g = collection_extract(col, 3)
+            out.append(
+                [float(len(get_parts(g))), float(g.type_id), polygon_area(g)]
+            )
+        return pd.Series(out)
+
+    v3 = (
+        zones.withColumn("_s", extract_stats("xmin", "ymin", "xmax", "ymax"))
+        .select(
+            F.lit(3).alias("variant"),
+            F.col("zone_id").alias("tile_id"),
+            F.col("_s")[0].cast("long").alias("n_parts"),
+            F.col("_s")[1].cast("int").alias("geom_type_id"),
+            F.round(F.col("_s")[2] * 1e6).cast("long").alias("area_s6"),
+        )
+    )
+    return v1.unionByName(v2).unionByName(v3)
 
 
 def _q_explode_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,13 +954,42 @@ def _q_extend_line(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = zones.withColumn("_ext", ext_ud("xmin", "ymin", "xmax", "ymax"))
     ep = line_endpoints_col("_ext")
-    return res.select(
+    v1 = res.select(
+        F.lit(1).alias("variant"),
         "zone_id",
         F.round(ep["x_start"], 6).alias("x_start"),
         F.round(ep["y_start"], 6).alias("y_start"),
         F.round(ep["x_end"], 6).alias("x_end"),
         F.round(ep["y_end"], 6).alias("y_end"),
     )
+
+    # v2 — extend_line_by_distance promoted to the oracle: a 3-4-5
+    # segment (length exactly 5, hypot exact) from (x0+3, ymid) to
+    # (x0+6, ymid+4), extended 2 at the start and 3 at the end; the
+    # extrapolation ratios 2/5 and 3/5 and all deltas are closed-form
+    # arithmetic DuckDB mirrors op-for-op.
+    from pygeoops_spark.geom.extend_line import extend_line_by_distance
+
+    @F.pandas_udf(BinaryType())
+    def ext_d_ud(xmin: pd.Series, ymin: pd.Series, ymax: pd.Series) -> pd.Series:
+        out = []
+        for x0, y0, y1 in zip(xmin, ymin, ymax):
+            ymid = (y0 + y1) / 2
+            line = mk_line([(x0 + 3, ymid), (x0 + 6, ymid + 4)])
+            out.append(wkb_dumps(extend_line_by_distance(line, 2.0, 3.0)))
+        return pd.Series(out)
+
+    res2 = zones.withColumn("_ext", ext_d_ud("xmin", "ymin", "ymax"))
+    ep2 = line_endpoints_col("_ext")
+    v2 = res2.select(
+        F.lit(2).alias("variant"),
+        "zone_id",
+        F.round(ep2["x_start"], 6).alias("x_start"),
+        F.round(ep2["y_start"], 6).alias("y_start"),
+        F.round(ep2["x_end"], 6).alias("x_end"),
+        F.round(ep2["y_end"], 6).alias("y_end"),
+    )
+    return v1.unionByName(v2)
 
 
 def _q_remove_inner_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1682,13 +1859,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grid_split": """
             -- 2x2 grid of (40,40,45,46) split with ratio 3 -> each tile
-            -- becomes 3 horizontal slabs (height 3 > width 2.5)
-            SELECT (c * 2 + r) AS tile_id,
-                   CAST(40 AS DOUBLE) + c * CAST(2.5 AS DOUBLE) AS xmin,
-                   CAST(40 AS DOUBLE) + r * CAST(3 AS DOUBLE) + s * CAST(1 AS DOUBLE) AS ymin,
-                   CAST(40 AS DOUBLE) + (c + 1) * CAST(2.5 AS DOUBLE) AS xmax,
-                   CAST(40 AS DOUBLE) + r * CAST(3 AS DOUBLE) + (s + 1) * CAST(1 AS DOUBLE) AS ymax
-            FROM range(2) a(c), range(2) b(r), range(3) g(s)
+            -- becomes 3 horizontal slabs (height 3 > width 2.5).
+            -- v1: bbox fast path. v2: the geometry path over L-shaped
+            -- tiles (cell minus top-right quadrant): slab 0 is the full
+            -- 2.5x1 rectangle, slab 1 an L-piece of area 1.875, slab 2
+            -- the 1.25x1 left column; bounds follow the same closed
+            -- forms (all exact dyadics).
+            WITH cells AS (
+              SELECT (c * 2 + r) AS tile_id,
+                     CAST(40 AS DOUBLE) + c * CAST(2.5 AS DOUBLE) AS x0,
+                     CAST(40 AS DOUBLE) + r * CAST(3 AS DOUBLE) AS y0,
+                     s
+              FROM range(2) a(c), range(2) b(r), range(3) g(s)
+            )
+            SELECT 1 AS variant, tile_id,
+                   x0 AS xmin,
+                   y0 + s * CAST(1 AS DOUBLE) AS ymin,
+                   x0 + CAST(2.5 AS DOUBLE) AS xmax,
+                   y0 + (s + 1) * CAST(1 AS DOUBLE) AS ymax,
+                   CAST(2.5 AS DOUBLE) AS area
+            FROM cells
+            UNION ALL
+            SELECT 2 AS variant, tile_id,
+                   x0 AS xmin,
+                   y0 + s * CAST(1 AS DOUBLE) AS ymin,
+                   CASE WHEN s = 2 THEN x0 + CAST(1.25 AS DOUBLE)
+                        ELSE x0 + CAST(2.5 AS DOUBLE) END AS xmax,
+                   y0 + (s + 1) * CAST(1 AS DOUBLE) AS ymax,
+                   CASE s WHEN 0 THEN CAST(2.5 AS DOUBLE)
+                          WHEN 1 THEN CAST(1.875 AS DOUBLE)
+                          ELSE CAST(1.25 AS DOUBLE) END AS area
+            FROM cells
         """,
         "tile_assign": f"""
             WITH {ORDER_PTS_CTE.strip()}
@@ -1921,24 +2122,55 @@ def oracle_sql() -> dict[str, str]:
             FROM range(64) t(i)
         """,
         "collect": f"""
+            -- v1: collect aggregation (multipoint per tile).
+            -- v2: make_valid oracle — a bowtie quad over each zone
+            -- repairs under nonzero winding to a 2-part multipolygon
+            -- (type 6) of exact area w*h/2 (scaled-integer BIGINT).
             WITH {ORDER_PTS_CTE.strip()},
+            {ZONES_CTE.strip()},
             g AS (
               SELECT CAST(least(floor(x / 125.0), 7) * 8 + least(floor(y / 125.0), 7) AS BIGINT) AS tile_id,
                      count(*) AS cnt
               FROM pts GROUP BY 1
             )
-            SELECT tile_id,
-                   CAST(cnt AS INT) AS n_parts,
-                   CAST(CASE WHEN cnt > 1 THEN 4 ELSE 1 END AS INT) AS geom_type_id
+            SELECT 1 AS variant, tile_id,
+                   CAST(cnt AS BIGINT) AS n_parts,
+                   CAST(CASE WHEN cnt > 1 THEN 4 ELSE 1 END AS INT) AS geom_type_id,
+                   CAST(0 AS BIGINT) AS area_s6
             FROM g
+            UNION ALL
+            SELECT 2 AS variant, zone_id AS tile_id,
+                   CAST(2 AS BIGINT) AS n_parts,
+                   CAST(6 AS INT) AS geom_type_id,
+                   CAST(round((xmax - xmin) * (ymax - ymin) / CAST(2 AS DOUBLE) * CAST(1e6 AS DOUBLE)) AS BIGINT) AS area_s6
+            FROM zones
+            UNION ALL
+            -- v3: collection_extract(POLYGON) keeps the bottom-left
+            -- quadrant rectangle: 1 part, type 3, area w*h/4
+            SELECT 3 AS variant, zone_id AS tile_id,
+                   CAST(1 AS BIGINT) AS n_parts,
+                   CAST(3 AS INT) AS geom_type_id,
+                   CAST(round(((xmax - xmin) / 2) * ((ymax - ymin) / 2) * CAST(1e6 AS DOUBLE)) AS BIGINT) AS area_s6
+            FROM zones
         """,
         "extend_line": f"""
+            -- v1: extend_line_to_geometry (midline third -> boundary).
+            -- v2: extend_line_by_distance on a 3-4-5 segment (exact
+            -- hypot): start pulled back by ratio 2/5, end pushed by
+            -- 3/5 — op-for-op IEEE mirror of the kernel extrapolation.
             WITH {ZONES_CTE.strip()}
-            SELECT zone_id,
-                   xmin AS x_start,
-                   (ymin + ymax) / 2 AS y_start,
-                   xmax AS x_end,
-                   (ymin + ymax) / 2 AS y_end
+            SELECT 1 AS variant, zone_id,
+                   round(xmin, 6) AS x_start,
+                   round((ymin + ymax) / 2, 6) AS y_start,
+                   round(xmax, 6) AS x_end,
+                   round((ymin + ymax) / 2, 6) AS y_end
+            FROM zones
+            UNION ALL
+            SELECT 2 AS variant, zone_id,
+                   round((xmin + 3) + ((xmin + 3) - (xmin + 6)) * (CAST(2 AS DOUBLE) / CAST(5 AS DOUBLE)), 6) AS x_start,
+                   round(((ymin + ymax) / 2) + (((ymin + ymax) / 2) - ((ymin + ymax) / 2 + 4)) * (CAST(2 AS DOUBLE) / CAST(5 AS DOUBLE)), 6) AS y_start,
+                   round((xmin + 6) + ((xmin + 6) - (xmin + 3)) * (CAST(3 AS DOUBLE) / CAST(5 AS DOUBLE)), 6) AS x_end,
+                   round(((ymin + ymax) / 2 + 4) + (((ymin + ymax) / 2 + 4) - ((ymin + ymax) / 2)) * (CAST(3 AS DOUBLE) / CAST(5 AS DOUBLE)), 6) AS y_end
             FROM zones
         """,
         "remove_inner_rings": f"""
