@@ -58,6 +58,8 @@ __all__ = [
     "exact_union_pair_area",
     "exact_symmetric_difference_area",
     "exact_union_area",
+    "exact_line_clip_length",
+    "exact_line_difference_length",
 ]
 
 _F = Fraction
@@ -203,6 +205,95 @@ def exact_symmetric_difference_area(
 ) -> Fraction:
     """Exact area of A △ B."""
     return exact_area(a) + exact_area(b) - 2 * exact_intersection_area(a, b)
+
+
+# -- exact line-vs-polygon measure -----------------------------------------
+# The inside/outside t-measure of each line segment is fully rational:
+# crossing parameters solve linear systems, and sub-interval midpoints
+# classify by an exact even-odd crossing test. Only the final
+# conversion to metric length multiplies the exact fraction by one
+# float segment length — "exact up to one sqrt". Generic-position
+# inputs only: a sub-segment collinear ON the boundary has an
+# ambiguous midpoint and is not handled (float kernels are equally
+# ambiguous there).
+
+
+def _pip_even_odd(x: Fraction, y: Fraction, rings) -> bool:
+    inside = False
+    for pts in rings:
+        n = len(pts)
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            if (y1 > y) != (y2 > y):
+                xi = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+                if xi > x:
+                    inside = not inside
+    return inside
+
+
+def _segment_inside_fraction(
+    p: tuple[Fraction, Fraction], q: tuple[Fraction, Fraction], rings
+) -> Fraction:
+    """Exact t-measure of [p, q] strictly inside the even-odd region."""
+    dx, dy = q[0] - p[0], q[1] - p[1]
+    if dx == 0 and dy == 0:
+        return _F(0)
+    cuts = {_F(0), _F(1)}
+    for pts in rings:
+        n = len(pts)
+        for i in range(n):
+            a = pts[i]
+            b = pts[(i + 1) % n]
+            ex, ey = b[0] - a[0], b[1] - a[1]
+            denom = dx * ey - dy * ex
+            if denom == 0:
+                continue
+            qpx, qpy = a[0] - p[0], a[1] - p[1]
+            t = (qpx * ey - qpy * ex) / denom
+            u = (qpx * dy - qpy * dx) / denom
+            if 0 < t < 1 and 0 <= u <= 1:
+                cuts.add(t)
+    ts = sorted(cuts)
+    total = _F(0)
+    for t1, t2 in zip(ts, ts[1:]):
+        tm = (t1 + t2) / 2
+        if _pip_even_odd(p[0] + tm * dx, p[1] + tm * dy, rings):
+            total += t2 - t1
+    return total
+
+
+def _line_frac(coords) -> list[tuple[Fraction, Fraction]]:
+    arr = np.asarray(coords, dtype=float)
+    return [(_F(float(x)), _F(float(y))) for x, y in arr[:, :2]]
+
+
+def exact_line_clip_length(coords, geom: Geometry | None) -> float:
+    """Length of the polyline inside the (multi)polygon: exact
+    per-segment inside fractions x one float segment length each."""
+    if geom is None:
+        return 0.0
+    rings = _frac_rings(geom)
+    if not rings:
+        return 0.0
+    pts = _line_frac(coords)
+    total = 0.0
+    for p, q in zip(pts, pts[1:]):
+        frac = _segment_inside_fraction(p, q, rings)
+        if frac:
+            seg = math.hypot(float(q[0] - p[0]), float(q[1] - p[1]))
+            total += float(frac) * seg
+    return total
+
+
+def exact_line_difference_length(coords, geom: Geometry | None) -> float:
+    """Length of the polyline outside the (multi)polygon."""
+    pts = _line_frac(coords)
+    full = sum(
+        math.hypot(float(q[0] - p[0]), float(q[1] - p[1]))
+        for p, q in zip(pts, pts[1:])
+    )
+    return full - exact_line_clip_length(coords, geom)
 
 
 def exact_union_area(geoms: list[Geometry | None], max_n: int = 6) -> Fraction:

@@ -395,6 +395,89 @@ def test_difference_all_driver_corpus_matches_exact():
             assert got == pytest.approx(want, abs=1e-6), (zid, got, want)
 
 
+# coordinates generic by construction: never integer, never aligned
+# with the integer-coordinate polygon edges (the documented non-generic
+# collinear-on-boundary case is thereby excluded without filtering)
+generic_coord = st.integers(min_value=-5000, max_value=45000).map(
+    lambda n: n / 1000 + 0.0002718
+)
+
+
+def _chain_length(chains):
+    total = 0.0
+    for ch in chains:
+        arr = np.asarray(ch, dtype=float)
+        total += float(np.hypot(*(arr[1:] - arr[:-1]).T).sum())
+    return total
+
+
+def test_line_kernels_match_exact_pinned():
+    from pygeoops_spark.geom.clip import clip_line_rect
+    from pygeoops_spark.geom.exact import (
+        exact_line_clip_length,
+        exact_line_difference_length,
+    )
+    from pygeoops_spark.geom.overlay import line_difference, line_intersection
+
+    box = polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    line = np.array([(-5.0, 5.0), (15.0, 5.0)])  # crosses straight through
+    assert _chain_length(line_intersection(line, box)) == pytest.approx(10.0)
+    assert exact_line_clip_length(line, box) == pytest.approx(10.0)
+    assert _chain_length(line_difference(line, box)) == pytest.approx(10.0)
+    assert exact_line_difference_length(line, box) == pytest.approx(10.0)
+    # diagonal through a holed polygon: hole span excluded
+    holed = polygon(
+        [(0, 0), (10, 0), (10, 10), (0, 10)], holes=[[(4, 4), (6, 4), (6, 6), (4, 6)]]
+    )
+    diag = np.array([(-1.0, -1.0), (11.0, 11.0)])
+    want = float(exact_line_clip_length(diag, holed))
+    assert want == pytest.approx((10 - 2) * np.sqrt(2.0), abs=1e-9)
+    assert _chain_length(line_intersection(diag, holed)) == pytest.approx(
+        want, abs=1e-9
+    )
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(l_shapes(), generic_coord, generic_coord, generic_coord, generic_coord)
+def test_line_overlay_matches_exact(poly_g, x1, y1, x2, y2):
+    """line_intersection / line_difference lengths graded against the
+    exact rational t-measure oracle on random segments vs concave
+    polygons (float endpoints are generic: no collinear overlaps)."""
+    from hypothesis import assume
+
+    from pygeoops_spark.geom.exact import (
+        exact_line_clip_length,
+        exact_line_difference_length,
+    )
+    from pygeoops_spark.geom.overlay import line_difference, line_intersection
+
+    assume(abs(x1 - x2) + abs(y1 - y2) > 1e-6)
+    line = np.array([(x1, y1), (x2, y2)])
+    got_in = _chain_length(line_intersection(line, poly_g))
+    got_out = _chain_length(line_difference(line, poly_g))
+    assert got_in == pytest.approx(
+        exact_line_clip_length(line, poly_g), abs=1e-7
+    )
+    assert got_out == pytest.approx(
+        exact_line_difference_length(line, poly_g), abs=1e-7
+    )
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(boxes(), generic_coord, generic_coord, generic_coord, generic_coord)
+def test_clip_line_rect_matches_exact(rect, x1, y1, x2, y2):
+    from hypothesis import assume
+
+    from pygeoops_spark.geom.clip import clip_line_rect
+    from pygeoops_spark.geom.exact import exact_line_clip_length
+
+    assume(abs(x1 - x2) + abs(y1 - y2) > 1e-6)
+    (rx0, ry0), (rx1, ry1) = rect.data[0][0], rect.data[0][2]
+    line = np.array([(x1, y1), (x2, y2)])
+    got = _chain_length(clip_line_rect(line, rx0, ry0, rx1, ry1))
+    assert got == pytest.approx(exact_line_clip_length(line, rect), abs=1e-7)
+
+
 @settings(max_examples=_n(100), deadline=None)
 @given(l_shapes(), boxes())
 def test_clip_polygon_rect_matches_exact(subject, rect):
