@@ -535,6 +535,54 @@ def test_kernel_matches_exact_under_jitter(t):
     )
 
 
+@st.composite
+def holed_plug_pairs(draw):
+    """A holed polygon and a plug hugging its hole at a signed eps
+    offset — the shape family where the difference kernel's
+    double-subtraction guards live, graded absolutely here."""
+    w = draw(st.integers(min_value=8, max_value=20))
+    h = draw(st.integers(min_value=8, max_value=20))
+    hx = draw(st.integers(min_value=2, max_value=w - 5))
+    hy = draw(st.integers(min_value=2, max_value=h - 5))
+    hw = draw(st.integers(min_value=2, max_value=w - hx - 2))
+    hh = draw(st.integers(min_value=2, max_value=h - hy - 2))
+    eps = draw(st.sampled_from([0.0, 1e-12, 1e-9, 1e-7]))
+    sgn = draw(st.sampled_from([-1.0, 1.0]))
+    holed = polygon(
+        [(0, 0), (w, 0), (w, h), (0, h)],
+        holes=[[(hx, hy), (hx + hw, hy), (hx + hw, hy + hh), (hx, hy + hh)]],
+    )
+    d = sgn * eps
+    plug = polygon(
+        [
+            (hx + d, hy + d),
+            (hx + hw - d, hy + d),
+            (hx + hw - d, hy + hh - d),
+            (hx + d, hy + hh - d),
+        ]
+    )
+    return holed, plug, eps
+
+
+@settings(max_examples=_n(120), deadline=None)
+@given(holed_plug_pairs())
+def test_kernel_matches_exact_holed_plug(t):
+    holed, plug, eps = t
+    tol = 1e-6 + eps * 500
+    assert _area(polygon_intersection(holed, plug)) == pytest.approx(
+        float(exact_intersection_area(holed, plug)), abs=tol
+    )
+    assert _area(polygon_difference(holed, plug)) == pytest.approx(
+        float(exact_difference_area(holed, plug)), abs=tol
+    )
+    assert _area(polygon_difference(plug, holed)) == pytest.approx(
+        float(exact_difference_area(plug, holed)), abs=tol
+    )
+    assert _area(polygon_union([holed, plug])) == pytest.approx(
+        float(exact_union_pair_area(holed, plug)), abs=tol
+    )
+
+
 @settings(max_examples=_n(80), deadline=None)
 @given(parcel_pairs(), st.sampled_from([1e5, 5e5, 1e6]))
 def test_kernel_matches_exact_under_jitter_projected(t, offset):
