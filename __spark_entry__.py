@@ -1553,7 +1553,10 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = jaccard_pairs(docs, n=3, threshold=0.5).select("id_a", "id_b")
-    sig = simhash_signatures(docs)
+    # materialize the (doc_id, simhash) table once: it is joined on
+    # BOTH pair sides, so the lazy plan would re-run the scan + Arrow
+    # signature kernel twice (r07; the checkpoint is n_docs x 16 bytes)
+    sig = simhash_signatures(docs).localCheckpoint(eager=True)
     hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return (
         exact.join(

@@ -418,14 +418,58 @@ def geodesic_knn_join(
 
     ell_a = WGS84_A if a is None else float(a)
     ell_f = WGS84_F if f is None else float(f)
+    n_targets = None
     if level is None:
-        level = geo_auto_level_knn(targets.count(), k, radius)
+        n_targets = targets.count()
+        level = geo_auto_level_knn(n_targets, k, radius)
     nlon, nlat = _ncells(level)
     dlat = 180.0 / nlat
 
     top_level = _caches is None
     if _caches is None:
         _caches = []
+
+    def _dist_col() -> Column:
+        if spheroid:
+            from pygeoops_spark.operators.geodesic import geodesic_distance_col
+
+            return geodesic_distance_col(
+                F.col(plon), F.col(plat), F.col("_tlon"), F.col("_tlat"),
+                a=ell_a, f=ell_f,
+            ).alias("dist_m")
+        return great_circle_distance_sql(
+            F.col(plon), F.col(plat), F.col("_tlon"), F.col("_tlat"), ell_a
+        ).alias("dist_m")
+
+    nn_col = target_key + "_nn"
+    w = Window.partitionBy(probe_key).orderBy(
+        F.col("dist_m").asc(), F.col(nn_col).asc()
+    )
+
+    # Brute-force escape (r07; mirrors join/knn.py): with the target
+    # table no bigger than the initial ring's own capacity, cell
+    # pruning saves at most a small constant factor of candidate rows
+    # per probe while the exactness recursion costs per-level persists,
+    # kth aggregates, isEmpty() actions and whole re-join passes (the
+    # r06 auto-level finding — ring expansion doubles its radius per
+    # miss — taken to its limit). The broadcast cross join computes the
+    # identical top-k (same distance expression, same tie-break) in one
+    # window pass at any probe count. Only under guarantee_exact.
+    if top_level and guarantee_exact:
+        if n_targets is None:
+            n_targets = targets.count()
+        if n_targets <= k * (2 * radius + 1) ** 2:
+            t_all = targets.select(
+                F.col(target_key).alias("_tkey"),
+                F.col(tlon).alias("_tlon"),
+                F.col(tlat).alias("_tlat"),
+            )
+            cand = probes.crossJoin(F.broadcast(t_all))
+            return (
+                cand.select(*probes.columns, F.col("_tkey").alias(nn_col), _dist_col())
+                .withColumn("knn_rank", F.row_number().over(w))
+                .where(F.col("knn_rank") <= k)
+            )
 
     def _finish(df: DataFrame) -> DataFrame:
         if top_level and _caches:
@@ -445,23 +489,8 @@ def geodesic_knn_join(
 
     p = probes.withColumn("_cell", F.explode(geo_ring_cells(plon, plat, level, radius)))
     cand = p.join(t, "_cell").drop("_cell")
-    if spheroid:
-        from pygeoops_spark.operators.geodesic import geodesic_distance_col
-
-        dist = geodesic_distance_col(
-            F.col(plon), F.col(plat), F.col("_tlon"), F.col("_tlat"),
-            a=ell_a, f=ell_f,
-        ).alias("dist_m")
-    else:
-        dist = great_circle_distance_sql(
-            F.col(plon), F.col(plat), F.col("_tlon"), F.col("_tlat"), ell_a
-        ).alias("dist_m")
-    nn_col = target_key + "_nn"
-    w = Window.partitionBy(probe_key).orderBy(
-        F.col("dist_m").asc(), F.col(nn_col).asc()
-    )
     ranked = (
-        cand.select(*probes.columns, F.col("_tkey").alias(nn_col), dist)
+        cand.select(*probes.columns, F.col("_tkey").alias(nn_col), _dist_col())
         .withColumn("knn_rank", F.row_number().over(w))
         .where(F.col("knn_rank") <= k)
     )

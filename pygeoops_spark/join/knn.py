@@ -47,13 +47,37 @@ def knn_join(
     long session no longer accumulate storage (the checkpoint itself is
     GC-cleaned with the returned DataFrame).
     """
+    n_targets = None
     if level is None:
         from pygeoops_spark.join.cells import auto_level_knn
 
-        level = auto_level_knn(targets.count(), k, radius)
+        n_targets = targets.count()
+        level = auto_level_knn(n_targets, k, radius)
     top_level = _caches is None
     if _caches is None:
         _caches = []
+
+    # Brute-force escape (r07, guide §1.2 "remove unnecessary passes"):
+    # when the target table is no bigger than the initial ring's own
+    # capacity (k targets per cell x (2r+1)^2 cells — the occupancy
+    # auto_level_knn aims the ring at), cell pruning cannot drop more
+    # than a small constant factor of candidates per probe, while the
+    # exactness machinery still costs a persist, a kth-distance
+    # aggregate, an isEmpty() action and possibly whole re-join passes
+    # at doubled radius PER LEVEL. The broadcast cross join computes
+    # the identical top-k (same distance expression, same tie-break)
+    # in one window pass regardless of probe count, so the trade is
+    # probe-scale-independent. Only taken under guarantee_exact —
+    # without it the ring join's approximate candidate set is the
+    # documented semantics and must stay.
+    if top_level and guarantee_exact:
+        if n_targets is None:
+            n_targets = targets.count()
+        if n_targets <= k * (2 * radius + 1) ** 2:
+            return knn_join_bruteforce(
+                probes, targets, probe_key, target_key, k,
+                px=px, py=py, tx=tx, ty=ty,
+            )
 
     def _finish(df: DataFrame) -> DataFrame:
         if top_level and _caches:

@@ -36,6 +36,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Size post-shuffle partitions by BYTES (advisory), not by core
+        # count: parallelismFirst=true (the Spark default) splits even a
+        # kilobyte-scale shuffle into one reduce task per core, and the
+        # per-task scheduling overhead dominates small stages (measured
+        # 2.7x on a tiny groupBy at local[32]; guide §2.2/§9 recommends
+        # advisory-sized partitions on clusters for the same reason —
+        # M x R shuffle-block growth). 64m default rather than the
+        # guide's 256m because the engine ships compact rows into
+        # CPU-heavy Arrow kernels (AQE bytes are blind to kernel CPU —
+        # see CLAUDE.md skew note); raise via env for pure-ETL shuffles.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -18,6 +18,8 @@ Scale notes (the design target is ~10^12 docs):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +46,39 @@ def _materialize_and_release(result: DataFrame, caches, lazy: bool = False) -> D
     for c in caches:
         c.unpersist()
     return out
+
+def _spread_input(df: DataFrame) -> DataFrame:
+    """Round-robin the input over the cluster's cores when the source
+    has fewer partitions (a single-row-group parquet file arrives as
+    ONE scan task, serializing the shingle/signature projections on a
+    single core — measured 2.5 s vs 0.2 s for the sf0.1 shingle build).
+    At scale inputs already carry >= defaultParallelism partitions and
+    this is a no-op; when it does fire, the shuffle moves only the
+    bytes the projection was about to scan anyway (guide §2.5 input
+    skew: repartition immediately after a too-coarse read)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — exotic un-plannable frames
+        return df
+    return df.repartition(target) if n < target else df
+
+
+def _cpu_partitions(df: DataFrame) -> int:
+    """Partition count for CPU-bound array-kernel stages (exact-verify
+    array_intersect, prefix windows): AQE's byte-based coalescing is
+    blind to per-row kernel CPU on compact rows (CLAUDE.md skew note),
+    so these stages pin an explicit count — the cluster's core count,
+    floored by the configured shuffle parallelism so cluster-sized
+    deployments keep their byte-safe partition counts."""
+    ss = df.sparkSession
+    try:
+        sp = int(ss.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover
+        sp = 0
+    return max(ss.sparkContext.defaultParallelism, sp)
+
 
 def _hash_family(k: int) -> list[tuple[int, int]]:
     # fixed multiplicative-congruential constants (seedless, reproducible)
@@ -92,11 +127,18 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
 
 
 def _jaccard_candidates(
-    arr: DataFrame, id_col: str, threshold: float
+    arr: DataFrame, id_col: str, threshold: float, caches: list | None = None
 ) -> DataFrame:
     """Prefix-filtered candidate pairs (complete w.r.t. the threshold):
     (id_a < id_b, na, nb) from a (id, _aset hash array) table. See
-    jaccard_pairs for the filter theory."""
+    jaccard_pairs for the filter theory.
+
+    ``caches``: list to receive the persisted prefix-index frame. The
+    prefix index feeds BOTH sides of the self-join, and Catalyst does
+    not common-subexpression a shared subplan — unpersisted, the
+    explode + doc-frequency join + rank window all ran TWICE (r07 plan
+    audit: duplicate Window/Exchange subtrees). The caller unpersists
+    after materializing its result."""
     # the exploded index joins on the shingle's 8-byte hash, not the
     # string: the shuffle carries longs (64-bit collisions are
     # ~n^2/2^65 — negligible, and a collision only inflates `common`
@@ -116,11 +158,20 @@ def _jaccard_candidates(
     # minimizes candidate generation
     w = Window.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("_sh").asc())
     prefix_len = F.col("_n_sh") - F.ceil(F.lit(float(threshold)) * F.col("_n_sh")) + 1
+    # explicit partition count for the window's exchange: the rank pass
+    # is per-row CPU over compact rows, which AQE byte-coalescing would
+    # serialize onto one task (see _cpu_partitions)
     pref = (
-        sh2.withColumn("_pos", F.row_number().over(w))
+        sh2.repartition(_cpu_partitions(arr), id_col)
+        .withColumn("_pos", F.row_number().over(w))
         .where((F.col("_pos") <= prefix_len) & (F.col("_df") > 1))
         .select(id_col, "_n_sh", "_sh")
     )
+    if caches is not None:
+        from pyspark import StorageLevel
+
+        pref = pref.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(pref)
     pa = pref.select(F.col(id_col).alias("id_a"), F.col("_n_sh").alias("na"), "_sh")
     pb = pref.select(F.col(id_col).alias("id_b"), F.col("_n_sh").alias("nb"), "_sh")
     return (
@@ -131,7 +182,14 @@ def _jaccard_candidates(
             & (F.col("na") >= F.lit(float(threshold)) * F.col("nb"))
         )
         .select("id_a", "id_b", "na", "nb")
-        .distinct()
+        # pair dedup pinned to an explicit partition count: hash
+        # partitioning on (id_a, id_b) satisfies the dropDuplicates
+        # clustering (na/nb are functions of the ids), so this is the
+        # SAME single exchange `.distinct()` produced — but the
+        # downstream array_intersect verify (the CPU-heavy stage) then
+        # runs on cores-many tasks instead of one AQE-coalesced one
+        .repartition(_cpu_partitions(arr), "id_a", "id_b")
+        .dropDuplicates()
     )
 
 
@@ -180,11 +238,12 @@ def jaccard_pairs(
 
     # ONE shingle-hash array table feeds both the prefix index (via
     # explode) and the verification joins — the text is split and
-    # hashed once, not three times
-    arr = shingle_hash_arrays(df, id_col, text_col, n).persist(
+    # hashed once, not three times (and in parallel: _spread_input)
+    arr = shingle_hash_arrays(_spread_input(df), id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = _jaccard_candidates(arr, id_col, threshold)
+    caches: list = [arr]
+    cands = _jaccard_candidates(arr, id_col, threshold, caches=caches)
     # verification via per-doc hash-set arrays + array_intersect: one
     # row per candidate pair instead of exploding each pair by |A|
     # (the r01-style explode-join shuffled |cands| x |A| rows — the
@@ -201,7 +260,7 @@ def jaccard_pairs(
         common.where(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
         .select("id_a", "id_b", "jaccard"),
-        [arr],
+        caches,
         lazy,
     )
 
@@ -229,7 +288,7 @@ def minhash_signatures(
     explode, no groupBy — at 10^12 docs the signature stage moves zero
     rows (the r01/r02 design shuffled an exploded shingle table through
     a k-min aggregate). Same values: min over the same multiset."""
-    arr = shingle_hash_arrays(df, id_col, text_col, n)
+    arr = shingle_hash_arrays(_spread_input(df), id_col, text_col, n)
     return arr.select(F.col(id_col), *_signature_cols(k))
 
 
@@ -271,7 +330,7 @@ def minhash_lsh_pairs(
     raw plan with caller-managed caches (ADVICE r03).
     """
     rows_per_band = k // bands
-    arr = shingle_hash_arrays(df, id_col, text_col, n).cache()
+    arr = shingle_hash_arrays(_spread_input(df), id_col, text_col, n).cache()
     sig = arr.select(F.col(id_col), *_signature_cols(k))
     band_cols = [
         F.hash(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
@@ -286,12 +345,19 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band_{b}").alias("v")) for b in range(bands)])
         ).alias("band"),
     ).select(id_col, "band.b", "band.v")
+    # persist: the band table feeds BOTH sides of the self-join and
+    # Catalyst does not share the subplan — unpersisted, the 32-way
+    # min-hash signature projection ran twice (r07 plan audit)
+    stacked = stacked.persist()
     cands = (
         stacked.alias("l")
         .join(stacked.alias("r"), ["b", "v"])
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
+        # explicit partition count so the downstream array_intersect
+        # verify is not AQE-coalesced onto one task (see _cpu_partitions)
+        .repartition(_cpu_partitions(arr), "id_a", "id_b")
+        .dropDuplicates()
     )
     # verify candidates with exact jaccard via the SAME cached
     # shingle-hash arrays + array_intersect: one row per candidate pair
@@ -322,7 +388,7 @@ def minhash_lsh_pairs(
         sized.where(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
         .select("id_a", "id_b", "jaccard"),
-        [arr],
+        [arr, stacked],
         lazy,
     )
 
@@ -336,7 +402,7 @@ def simhash_signatures(
     PROJECTION over the per-row word-hash array (bit b set iff
     2*count_set_b > n), replacing the r02 explode + 64-conditional-sum
     groupBy: at 10^12 docs the signature stage moves zero rows."""
-    d = df.where(F.col(text_col).isNotNull()).select(
+    d = _spread_input(df.where(F.col(text_col).isNotNull())).select(
         F.col(id_col),
         word_hash_array(text_col).alias("_hs"),
     ).withColumn("_n", F.size("_hs"))
@@ -354,23 +420,53 @@ def word_hash_array(text_col: str) -> Column:
 
 
 def simhash_sig_expr(bits: int = 64) -> Column:
-    """The signature expression over materialized columns `_hs`
-    (word-hash array) and `_n` (its size) — materialize them first so
-    the per-bit filters reuse one computed array per row. Stateless, so
-    it composes into Structured Streaming projections too."""
+    """The signature column over materialized `_hs` (word-hash array)
+    and `_n` (its size).
 
-    # disjoint bit contributions => plain addition assembles the word
-    def _bit_set(b: int):
-        # single-arg lambda (2-arg would mean (element, index) to pyspark)
-        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
+    r07 (guide §4.2): Arrow-vectorized numpy kernel instead of the
+    64-way filter()/size() SQL tree. Higher-order functions block
+    whole-stage codegen, so the old tree was interpreted (64 passes +
+    64 array allocations per row) and its sheer node count cost seconds
+    of one-off Catalyst compilation per session. The kernel makes 64
+    vectorized passes over the batch's CONCATENATED word hashes
+    (per-doc sums via np.add.reduceat — memory stays O(words), no
+    words x 64 matrix). Bit-identical to the SQL formulation: bit b is
+    set iff 2 * count(bit b set) > n; the low bit of an arithmetic
+    shift equals the logical bit, so uint64 shifts reproduce Spark's
+    shiftright(x, b) & 1 exactly. Stateless, so it still composes into
+    Structured Streaming projections (streaming/tiles.py)."""
+    if not 0 < bits <= 64:
+        raise ValueError("simhash_sig_expr supports 1..64 bits")
 
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        cnt = F.size(F.filter("_hs", _bit_set(b)))
-        sig = sig + F.when(
-            cnt * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-    return sig
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _sig(hs: pd.Series, n: pd.Series) -> pd.Series:
+        import numpy as np
+
+        m = len(hs)
+        if not m:
+            return pd.Series([], dtype="int64")
+        lens = np.fromiter((len(a) for a in hs), dtype=np.int64, count=m)
+        nv = n.to_numpy(np.int64)
+        out = np.zeros(m, dtype=np.uint64)
+        nz = np.nonzero(lens > 0)[0]
+        if nz.size:
+            flat = np.concatenate(
+                [np.asarray(hs.iloc[i], dtype=np.int64) for i in nz]
+            ).view(np.uint64)
+            csum = np.cumsum(lens[nz])
+            starts = np.concatenate(([0], csum[:-1]))
+            half = nv[nz]
+            acc = np.zeros(nz.size, dtype=np.uint64)
+            for b in range(bits):
+                bit = (flat >> np.uint64(b)) & np.uint64(1)
+                cnt = np.add.reduceat(bit.view(np.int64), starts)
+                acc |= (2 * cnt > half).astype(np.uint64) << np.uint64(b)
+            out[nz] = acc
+        return pd.Series(out.view(np.int64))
+
+    return _sig("_hs", "_n")
 
 
 def simhash_pairs(

@@ -82,6 +82,59 @@ def connected_components(
     )
     selfers = raw.where(F.col("u") == F.col("v")).select("u").distinct()
 
+    # Small-graph fast path (r07, guide §1.2): the alternating-star
+    # loop costs ~8 shuffle stages + a localCheckpoint + a convergence
+    # aggregate PER ROUND — pure fixed overhead when the deduplicated
+    # edge set fits one task. Below the gate, a single-task union-find
+    # (coalesce(1) + mapInPandas — no driver collect, no shuffle)
+    # computes the identical min-label components in one pass. The gate
+    # reads the count off the just-checkpointed edges (a metadata-cheap
+    # job), so at corpus scale the distributed O(log n)-round algorithm
+    # — the one that matters at 10^12 docs — runs unchanged.
+    import os as _os
+
+    gate = int(_os.environ.get("PYGEOOPS_CC_LOCAL_MAX_EDGES", "100000"))
+    n_edges = e.count()
+    if n_edges <= gate:
+        import pandas as pd
+
+        def _union_find(batches):
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for b in batches:
+                for u, v in zip(b["u"], b["v"]):
+                    u, v = int(u), int(v)
+                    parent.setdefault(u, u)
+                    parent.setdefault(v, v)
+                    ru, rv = find(u), find(v)
+                    if ru != rv:
+                        # attach the larger root under the smaller, so a
+                        # component's root is always its minimum node id
+                        if ru < rv:
+                            parent[rv] = ru
+                        else:
+                            parent[ru] = rv
+            yield pd.DataFrame(
+                {"node": list(parent), "component": [find(x) for x in parent]}
+            )
+
+        if stats is not None:
+            stats["rounds"] = 0
+        out = e.coalesce(1).mapInPandas(
+            _union_find, "node long, component long"
+        )
+        singles = (
+            selfers.join(out.select(F.col("node").alias("u")), "u", "left_anti")
+            .select(F.col("u").alias("node"), F.col("u").alias("component"))
+        )
+        return out.unionByName(singles)
+
     def sig(df: DataFrame):
         return tuple(
             df.agg(
