@@ -1244,6 +1244,19 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="sess_stream_src_")
     os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
     stream = spark.readStream.schema(batch.schema).parquet(d)
+    total_rows = batch.count()
+    # State-partition count sized to the replayed volume (r07): every
+    # microbatch — including the EMPTY timer batches availableNow keeps
+    # scheduling — pays a state-store task plus an applyInPandasWithState
+    # Python round-trip PER state partition, so a session-default 32/200
+    # partitions is pure fixed overhead at this event volume (measured
+    # 3.4 s -> 2.4 s warm at 100k events with 8). ~12.5k events per
+    # state partition, floored at 4; restored in the finally block.
+    _prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(max(4, min(int(_prev_shuffle), total_rows // 12_500))),
+    )
     # idle_flush far beyond the run: only gap-rule closures are emitted,
     # which is the deterministic subset (open sessions depend on wall
     # clock, closed ones only on the data)
@@ -1267,17 +1280,19 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stopping an in-flight batch would silently emit a partial table.
     import time
 
-    total_rows = batch.count()
     try:
         committed: dict[int, int] = {}
         done = False
-        for _ in range(600):
+        # 0.1 s poll (r07): with ProcessingTimeTimeout the query keeps
+        # running EMPTY timer batches until we notice completion — each
+        # costs a full state pass, so detection latency buys real work
+        for _ in range(3000):
             for lp in q.recentProgress:
                 committed[lp["batchId"]] = int(lp["numInputRows"])
             if sum(committed.values()) >= total_rows:
                 done = True
                 break
-            time.sleep(0.5)
+            time.sleep(0.1)
         if not done:
             raise RuntimeError(
                 "sessionize_stream: committed input rows "
@@ -1288,6 +1303,7 @@ def _q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination(120)
+        spark.conf.set("spark.sql.shuffle.partitions", _prev_shuffle)
     dur_us = F.unix_micros("session_end") - F.unix_micros("session_start")
     out = (
         spark.table(name)
