@@ -498,16 +498,32 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         floor_hits=3,
     ).select(F.lit(1).alias("variant"), "query_id", "recall_floor_met")
 
-    idx_path = f"/tmp/pygeoops_ivf_idx_{abs(hash(sf_dir)) % (1 << 32)}"
+    # stable digest + per-run suffix (ADVICE r06): Python str hash is
+    # process-randomized, which made the path non-reproducible, leaked
+    # stale directories across runs, and let two concurrent drivers
+    # collide; the run-scoped suffix isolates concurrent sessions and
+    # the finally-cleanup removes the scratch index
+    import hashlib
+    import shutil
+    import uuid
+
+    idx_path = (
+        "/tmp/pygeoops_ivf_idx_"
+        + hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        + "_" + uuid.uuid4().hex[:8]
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ivf_build_index(emb, idx_path, n_cells=16, t_assign=3, train_iters=8)
-    v2 = _ann_recall_check(
-        spark,
-        sf_dir,
-        lambda q, t: ivf_query_index(spark, idx_path, q, k=5, nprobe=7),
-        floor_hits=3,
-    ).select(F.lit(2).alias("variant"), "query_id", "recall_floor_met")
-    return v1.unionByName(v2)
+    try:
+        ivf_build_index(emb, idx_path, n_cells=16, t_assign=3, train_iters=8)
+        v2 = _ann_recall_check(
+            spark,
+            sf_dir,
+            lambda q, t: ivf_query_index(spark, idx_path, q, k=5, nprobe=7),
+            floor_hits=3,
+        ).select(F.lit(2).alias("variant"), "query_id", "recall_floor_met")
+        return v1.unionByName(v2).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx_path, ignore_errors=True)
 
 
 def _q_simplify_rdp(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -371,7 +371,11 @@ def geo_pip_join(
             out[ii] = points_in_polygon(pxv[ii], pyv[ii], geom)
         return pd.Series(out)
 
-    return cand.where(_pip(F.col("_plon"), F.col(lat), F.col(zone_geom))).drop("_plon")
+    # schema parity with the prepared path (ADVICE r06): ship='auto'
+    # must not change the output columns with the zones' data volume
+    return cand.where(_pip(F.col("_plon"), F.col(lat), F.col(zone_geom))).drop(
+        "_plon", zone_geom
+    )
 
 
 def great_circle_distance_sql(

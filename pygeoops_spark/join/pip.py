@@ -105,7 +105,10 @@ def _resolve_ship(zones: DataFrame, zone_geom: str, ship: str) -> str:
         return ship
     row = zones.select(F.sum(F.length(F.col(zone_geom))).alias("b")).first()
     total = int(row["b"] or 0)
-    return "prepared" if total <= PREPARED_MAX_BYTES else "wkb"
+    # the broadcast ships DECODED float64 ring ndarrays plus per-ring
+    # Python object overhead — ~3x the raw WKB payload — so the cap is
+    # applied to the decoded estimate, not the WKB length (ADVICE r06)
+    return "prepared" if total * 3 <= PREPARED_MAX_BYTES else "wkb"
 
 
 def pip_join_polygons(
@@ -170,7 +173,11 @@ def pip_join_polygons(
         # in input-row order; measured ~2x on kernel-bound zones)
         cand = cand.sortWithinPartitions(zone_id)
         return cand.where(_pip_prepared_udf(bc)(F.col(x), F.col(y), F.col(zone_id)))
-    return cand.where(_pip_udf(F.col(x), F.col(y), F.col(zone_geom)))
+    # drop the geometry column on the wkb path too, so ship='auto'
+    # yields ONE output schema regardless of which side of the size
+    # threshold the zones landed on (ADVICE r06: a schema that flips
+    # with data volume breaks downstream selects only at scale)
+    return cand.where(_pip_udf(F.col(x), F.col(y), F.col(zone_geom))).drop(zone_geom)
 
 
 def _pip_prepared_udf(bc):
@@ -263,7 +270,8 @@ def pip_join_polygons_salted(
     if ship == "prepared":
         cand = cand.sortWithinPartitions(zone_id)
         return cand.where(_pip_prepared_udf(bc)(F.col(x), F.col(y), F.col(zone_id)))
-    return cand.where(_pip_udf(F.col(x), F.col(y), F.col(zone_geom)))
+    # schema parity with the prepared path (ADVICE r06)
+    return cand.where(_pip_udf(F.col(x), F.col(y), F.col(zone_geom))).drop(zone_geom)
 
 
 def salt_cells(df: DataFrame, cell_col: str, n_salt: int, key_col: str) -> DataFrame:

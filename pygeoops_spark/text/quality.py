@@ -80,17 +80,29 @@ def repetition_signals(text: Column | str) -> dict[str, Column]:
     * ``top_word_frac`` — coverage of the single most frequent word
     * ``dup_2gram_frac`` — fraction of bigram occurrences that repeat
 
-    top_word_frac is O(V * N) per row (V = distinct words) inside the
-    projection; repetition-heavy documents have small V, clean ones
-    bounded by N — fine for web-page-scale rows at 100 TB.
+    top_word_frac (r07, ADVICE r06): the old form counted each distinct
+    word with a filter pass — O(V * N) per row, and the worst case was
+    the CLEAN document (V ≈ N, quadratic), not the repetitive one. Now
+    the longest equal-run of the SORTED word array — O(N log N) sort +
+    one O(N) fold, same value (max run in sorted order = max frequency).
     """
     w = words_col(text)
     n = F.size(w)
     distinct = F.array_distinct(w)
     n_distinct = F.size(distinct)
-    top = F.array_max(
-        F.transform(distinct, lambda x: F.size(F.filter(w, lambda y: y == x)))
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
+
+    def _run_step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.array_sort(w), zero, _run_step, lambda acc: acc["best"])
     # bigrams via 1-based element_at; sequence(1, n-1) would DESCEND for
     # n < 2, so the whole term is guarded
     bigrams = F.transform(
