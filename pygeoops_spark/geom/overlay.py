@@ -213,10 +213,27 @@ def _seg_intersections(a1, a2, b1, b2) -> list[np.ndarray]:
     return []
 
 
+def _edges_arrays(
+    edges: list[tuple[np.ndarray, np.ndarray]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) as (n,2) float arrays — the vectorized form of an
+    edge list. Hoisted out of _node_edges (r07): an n-ary union calls
+    _node_edges once per polygon with the other polygons as neighbors,
+    so without caching every polygon's list was re-converted once per
+    appearance in a neighbor set (~5x redundant array builds for the
+    buffer-chain shapes; pure conversion, no geometric change)."""
+    if not edges:
+        z = np.empty((0, 2))
+        return z, z
+    return np.array([e[0] for e in edges]), np.array([e[1] for e in edges])
+
+
 def _node_edges(
     edges: list[tuple[np.ndarray, np.ndarray]],
     others: list[list[tuple[np.ndarray, np.ndarray]]],
     snap: float = SNAP,
+    edges_arr: tuple[np.ndarray, np.ndarray] | None = None,
+    others_arr: list[tuple[np.ndarray, np.ndarray]] | None = None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Split each edge at intersections with edges of the other sets,
     and at other-set vertices lying within ``10*snap`` of it.
@@ -231,17 +248,22 @@ def _node_edges(
     vertex pass (the endpoint itself is the node there)."""
     if not others:
         return edges
-    all_other = [e for o in others for e in o]
-    if not all_other:
-        return edges
-    o1 = np.array([e[0] for e in all_other])
-    o2 = np.array([e[1] for e in all_other])
+    if others_arr is not None:
+        if sum(len(a) for a, _ in others_arr) == 0:
+            return edges
+        o1 = np.concatenate([a for a, _ in others_arr])
+        o2 = np.concatenate([b for _, b in others_arr])
+    else:
+        all_other = [e for o in others for e in o]
+        if not all_other:
+            return edges
+        o1 = np.array([e[0] for e in all_other])
+        o2 = np.array([e[1] for e in all_other])
     ob_lo = np.minimum(o1, o2)
     ob_hi = np.maximum(o1, o2)
     s_all = o2 - o1
-    n_e, n_o = len(edges), len(all_other)
-    e1 = np.array([e[0] for e in edges])
-    e2 = np.array([e[1] for e in edges])
+    n_e, n_o = len(edges), len(o1)
+    e1, e2 = edges_arr if edges_arr is not None else _edges_arrays(edges)
     d_all = e2 - e1
     eb_lo = np.minimum(e1, e2)
     eb_hi = np.maximum(e1, e2)
@@ -1085,8 +1107,18 @@ def polygon_union(
         [j for j in range(len(flat)) if j != i and _bbox_overlap(boxes[i], boxes[j])]
         for i in range(len(flat))
     ]
+    # per-polygon edge arrays built ONCE and shared across every
+    # _node_edges call this polygon appears in (self or neighbor) —
+    # see _edges_arrays
+    edge_arrs = [_edges_arrays(e) for e in per_poly_edges]
     noded_all = [
-        _node_edges(per_poly_edges[i], [per_poly_edges[j] for j in near_all[i]], snap)
+        _node_edges(
+            per_poly_edges[i],
+            [per_poly_edges[j] for j in near_all[i]],
+            snap,
+            edges_arr=edge_arrs[i],
+            others_arr=[edge_arrs[j] for j in near_all[i]],
+        )
         if near_all[i]
         else per_poly_edges[i]
         for i in range(len(flat))
