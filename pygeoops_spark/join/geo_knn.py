@@ -305,7 +305,20 @@ def geo_pip_join(
         _resolve_ship,
     )
 
-    ship = _resolve_ship(zones, zone_geom, ship)
+    med_span = None
+    if level is None and ship == "auto":
+        # one fused zone-side aggregate for auto-ship + auto-level
+        # (r07; mirrors join/pip.py — each saved action is a saved job)
+        from pygeoops_spark.join.pip import PREPARED_MAX_BYTES
+
+        row = zones.select(
+            F.sum(F.length(F.col(zone_geom))).alias("b"),
+            F.percentile_approx(F.col("latmax") - F.col("latmin"), 0.5).alias("m"),
+        ).first()
+        ship = "prepared" if int(row["b"] or 0) * 3 <= PREPARED_MAX_BYTES else "wkb"
+        med_span = float(row["m"] or 0.0)
+    else:
+        ship = _resolve_ship(zones, zone_geom, ship)
     if ship == "prepared":
         bc = points.sparkSession.sparkContext.broadcast(
             {
@@ -316,10 +329,11 @@ def geo_pip_join(
         zones = zones.drop(zone_geom)
 
     if level is None:
-        row = zones.select(
-            F.percentile_approx(F.col("latmax") - F.col("latmin"), 0.5).alias("m")
-        ).first()
-        med_span = float(row["m"] or 0.0)
+        if med_span is None:
+            row = zones.select(
+                F.percentile_approx(F.col("latmax") - F.col("latmin"), 0.5).alias("m")
+            ).first()
+            med_span = float(row["m"] or 0.0)
         level = geo_auto_level(
             points.count(),
             min_cell_deg=med_span / 8.0 if med_span > 0 else None,

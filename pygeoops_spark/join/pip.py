@@ -142,8 +142,23 @@ def pip_join_polygons(
     shuffle join). The prepared output omits the ``zone_geom`` column
     (never needed by callers; keeps the plan narrow).
     """
-    level = _resolve_level(points, zones, level)
-    ship = _resolve_ship(zones, zone_geom, ship)
+    if level is None and ship == "auto":
+        # fuse the two tiny zone-side aggregates (auto-level span cap +
+        # auto-ship WKB total) into ONE job (r07, guide §1.2: these are
+        # eager actions at plan-construction time — ADVICE r06 — so
+        # every saved action is a saved Spark job per call)
+        row = zones.select(
+            F.sum(F.length(F.col(zone_geom))).alias("b"),
+            F.percentile_approx(F.col("xmax") - F.col("xmin"), 0.5).alias("m"),
+        ).first()
+        ship = "prepared" if int(row["b"] or 0) * 3 <= PREPARED_MAX_BYTES else "wkb"
+        from pygeoops_spark.join.cells import auto_level
+
+        span = float(row["m"] or 0.0)
+        level = auto_level(points.count(), min_cell=span / 8.0 if span > 0 else 0.0)
+    else:
+        level = _resolve_level(points, zones, level)
+        ship = _resolve_ship(zones, zone_geom, ship)
     if ship == "prepared":
         zone_wkbs = {
             r[0]: bytes(r[1]) for r in zones.select(zone_id, zone_geom).collect()
